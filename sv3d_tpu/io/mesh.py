@@ -1,0 +1,121 @@
+"""Lightweight triangle mesh container + OBJ I/O + surface sampling.
+
+The reference leans on trimesh for mesh loading, normalization and surface
+sampling (data_processing/mesh_occupancies.py:10-22, util/evaluate.py:11-17);
+trimesh is not available here, so TriMesh implements the needed subset with
+numpy: OBJ read/write, bounds, translate/scale/transform, face normals and
+area-weighted surface sampling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclass
+class TriMesh:
+    vertices: np.ndarray  # (V, 3) float64
+    faces: np.ndarray     # (F, 3) int64
+
+    def __post_init__(self):
+        self.vertices = np.asarray(self.vertices, dtype=np.float64).reshape(-1, 3)
+        self.faces = np.asarray(self.faces, dtype=np.int64).reshape(-1, 3)
+
+    # -- geometry -----------------------------------------------------------
+    @property
+    def triangles(self) -> np.ndarray:
+        """(F, 3, 3) vertex coordinates per face."""
+        return self.vertices[self.faces]
+
+    @property
+    def bounds(self) -> np.ndarray:
+        """(2, 3): [min, max] corner (trimesh .bounds analog)."""
+        return np.stack([self.vertices.min(axis=0), self.vertices.max(axis=0)])
+
+    @property
+    def face_normals(self) -> np.ndarray:
+        tri = self.triangles
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        norm = np.linalg.norm(n, axis=1, keepdims=True)
+        return n / np.clip(norm, 1e-20, None)
+
+    @property
+    def face_areas(self) -> np.ndarray:
+        tri = self.triangles
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        return 0.5 * np.linalg.norm(n, axis=1)
+
+    # -- transforms (in-place, mirroring trimesh API used by the reference) --
+    def apply_translation(self, t) -> "TriMesh":
+        self.vertices = self.vertices + np.asarray(t, dtype=np.float64)
+        return self
+
+    def apply_scale(self, s) -> "TriMesh":
+        self.vertices = self.vertices * np.asarray(s, dtype=np.float64)
+        return self
+
+    def apply_transform(self, m: np.ndarray) -> "TriMesh":
+        m = np.asarray(m, dtype=np.float64)
+        r = m[:3, :3]
+        t = m[:3, 3] if m.shape == (4, 4) else np.zeros(3)
+        self.vertices = self.vertices @ r.T + t
+        return self
+
+    def copy(self) -> "TriMesh":
+        return TriMesh(self.vertices.copy(), self.faces.copy())
+
+    # -- sampling -----------------------------------------------------------
+    def sample(self, n: int, return_index: bool = False, rng=None):
+        """Area-weighted uniform surface sampling (trimesh .sample analog,
+        used in reference mesh_occupancies.py:14 and evaluate.py:11-17)."""
+        rng = np.random.default_rng() if rng is None else rng
+        areas = self.face_areas
+        total = areas.sum()
+        if total <= 0 or len(areas) == 0:
+            raise ValueError("cannot sample an empty or degenerate mesh")
+        idx = rng.choice(len(areas), size=n, p=areas / total)
+        tri = self.triangles[idx]
+        # uniform barycentric via sqrt trick
+        r1 = np.sqrt(rng.random((n, 1)))
+        r2 = rng.random((n, 1))
+        pts = (1 - r1) * tri[:, 0] + r1 * (1 - r2) * tri[:, 1] + r1 * r2 * tri[:, 2]
+        if return_index:
+            return pts, idx
+        return pts
+
+    def export(self, path: str | Path):
+        save_obj(path, self.vertices, self.faces)
+
+
+def load_obj(path: str | Path) -> TriMesh:
+    """Parse a Wavefront OBJ (v / f lines; polygons are fan-triangulated)."""
+    verts: list = []
+    faces: list = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                idx = []
+                for tok in line.split()[1:]:
+                    i = tok.split("/")[0]
+                    i = int(i)
+                    idx.append(i - 1 if i > 0 else len(verts) + i)
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    if not verts:
+        raise ValueError(f"{path}: no vertices")
+    return TriMesh(np.array(verts), np.array(faces) if faces else np.zeros((0, 3), np.int64))
+
+
+def save_obj(path: str | Path, vertices: np.ndarray, faces: np.ndarray | None = None):
+    with open(path, "w") as f:
+        for v in np.asarray(vertices):
+            f.write(f"v {v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n")
+        if faces is not None:
+            for face in np.asarray(faces, dtype=np.int64) + 1:
+                f.write(f"f {face[0]} {face[1]} {face[2]}\n")

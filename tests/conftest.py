@@ -1,0 +1,42 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices so
+multi-chip sharding tests run anywhere (SURVEY.md §4)."""
+
+import os
+
+# JAX_PLATFORMS may be preset (e.g. to a tunneled TPU); tests always run on the
+# CPU backend with virtual devices unless explicitly overridden.
+if os.environ.get("SV3D_TEST_ON_TPU", "0") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+FIXTURE = REFERENCE / "data" / "raw" / "overfit" / "00000"
+PROCESSED = REFERENCE / "data" / "processed" / "overfit" / "00000"
+
+
+@pytest.fixture(scope="session")
+def fixture_dir() -> Path:
+    if not FIXTURE.exists():
+        pytest.skip("reference fixture not available")
+    return FIXTURE
+
+
+@pytest.fixture(scope="session")
+def processed_dir() -> Path:
+    if not PROCESSED.exists():
+        pytest.skip("reference processed fixture not available")
+    return PROCESSED
+
+
+@pytest.fixture(scope="session")
+def rng() -> np.random.Generator:
+    return np.random.default_rng(0)
