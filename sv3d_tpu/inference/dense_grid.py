@@ -1,0 +1,176 @@
+"""Dense-grid occupancy evaluation + mesh extraction.
+
+The reference evaluates its network on a dense query lattice by re-running the
+ENTIRE conv feature pyramid for every point chunk (reference
+model/ifnet.py:215-229 — network(x, pi) per chunk).  Here the pyramid is
+encoded ONCE, and the dense sweep runs through IFNet.query_lattice — the
+separable-resize formulation (sv3d_tpu/ops/lattice.py) that replaces per-point
+gathers with banded matmuls on the MXU.  The lattice is processed in
+fixed-shape row slabs so XLA compiles exactly one program for the whole sweep
+and peak memory stays bounded.
+
+evaluate_points() keeps the gather-based path for arbitrary (non-lattice)
+query sets, with optional sharding of the point dimension over the mesh's
+"sp" axis.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sv3d_tpu.models.ifnet import IFNet
+
+
+# jitted-program caches keyed on (model, static shape params): building a jit
+# inside a helper would otherwise recompile on every call
+@lru_cache(maxsize=64)
+def _encode_fn(model: IFNet):
+    return jax.jit(lambda v, g: model.apply(v, g, train=False, method=IFNet.encode))
+
+
+@lru_cache(maxsize=64)
+def _lattice_slab_fn(model: IFNet, resolution, res_increase, slab_rows):
+    return jax.jit(
+        lambda v, lv, off: jax.nn.sigmoid(
+            model.apply(
+                v, lv, resolution, res_increase, slab_rows, off,
+                method=IFNet.query_lattice,
+            )
+        )
+    )
+
+
+@lru_cache(maxsize=64)
+def _lattice_sweep_fn(model: IFNet, resolution, res_increase, slab_rows, n_slabs):
+    res = tuple(int(x) * res_increase for x in resolution)
+
+    @jax.jit
+    def sweep(v, lv):
+        def body(off):
+            return jax.nn.sigmoid(
+                model.apply(
+                    v, lv, resolution, res_increase, slab_rows, off,
+                    method=IFNet.query_lattice,
+                )
+            )[0]
+
+        offs = jnp.arange(n_slabs, dtype=jnp.int32) * slab_rows
+        slabs = jax.lax.map(body, offs)  # (n_slabs, slab_rows, r1, r2)
+        return slabs.reshape(n_slabs * slab_rows, res[1], res[2])
+
+    return sweep
+
+
+@lru_cache(maxsize=64)
+def _points_query_fn(model: IFNet):
+    return jax.jit(
+        lambda v, lv, p: jax.nn.sigmoid(model.apply(v, lv, p, method=IFNet.query))
+    )
+
+
+def evaluate_on_grid(
+    model: IFNet,
+    variables: dict,
+    grid: jnp.ndarray,
+    resolution,
+    res_increase: int = 1,
+    slab_rows: int = 8,
+    mesh=None,
+) -> np.ndarray:
+    """Evaluate sigmoid-occupancy on the dense lattice over [-0.5, 0.5]^3.
+
+    grid: (1, D0, D1, D2, 1) input occupancy volume.
+    Returns (r0, r1, r2) float32 numpy volume with r_i = resolution[i] *
+    res_increase (reference evaluate_network_on_grid, model/ifnet.py:215-229).
+    """
+    resolution = tuple(int(x) for x in resolution)
+    res = tuple(x * res_increase for x in resolution)
+
+    levels = _encode_fn(model)(variables, grid)
+    n_slabs = -(-res[0] // slab_rows)
+    sweep = _lattice_sweep_fn(model, resolution, res_increase, slab_rows, n_slabs)
+    out = np.asarray(sweep(variables, levels))
+    return out[: res[0]]
+
+
+def evaluate_on_grid_device(
+    model: IFNet,
+    variables: dict,
+    levels,
+    resolution,
+    res_increase: int = 1,
+    slab_rows: int = 8,
+) -> jnp.ndarray:
+    """Whole dense sweep as ONE jitted program (lax.map over row slabs),
+    result stays on device: (r0_padded, r1, r2) sigmoid occupancy.  Used by
+    benchmarking and by callers that post-process on device."""
+    resolution = tuple(int(x) for x in resolution)
+    res = tuple(x * res_increase for x in resolution)
+    n_slabs = -(-res[0] // slab_rows)
+    sweep = _lattice_sweep_fn(model, resolution, res_increase, slab_rows, n_slabs)
+    return sweep(variables, levels)
+
+
+def evaluate_points(
+    model: IFNet,
+    variables: dict,
+    grid: jnp.ndarray,
+    points: np.ndarray,
+    tile_points: int = 65536,
+    mesh=None,
+) -> np.ndarray:
+    """Sigmoid-occupancy at ARBITRARY points (M, 3) in [-0.5, 0.5] via the
+    gather path, tiled at a fixed shape; points may be sharded over "sp"."""
+    levels = _encode_fn(model)(variables, grid)
+    query = _points_query_fn(model)
+
+    pts = np.asarray(points, dtype=np.float32)
+    m = pts.shape[0]
+    tile = min(tile_points, m)
+    if mesh is not None:
+        sp = mesh.shape["sp"]
+        tile = max((tile // sp) * sp, sp)
+    n_tiles = -(-m // tile)
+    padded = np.zeros((n_tiles * tile, 3), dtype=np.float32)
+    padded[:m] = pts
+
+    if mesh is not None:
+        from sv3d_tpu.parallel.mesh import point_sharding, replicate
+
+        levels = jax.device_put(levels, replicate(mesh))
+
+    out = np.empty(n_tiles * tile, dtype=np.float32)
+    for i in range(n_tiles):
+        chunk = jnp.asarray(padded[i * tile : (i + 1) * tile])[None]
+        if mesh is not None:
+            from sv3d_tpu.parallel.mesh import point_sharding
+
+            chunk = jax.device_put(chunk, point_sharding(mesh))
+        out[i * tile : (i + 1) * tile] = np.asarray(query(variables, levels, chunk)[0])
+    return out[:m]
+
+
+def implicit_to_mesh(
+    model: IFNet,
+    variables: dict,
+    grid: jnp.ndarray,
+    resolution,
+    threshold_p: float,
+    output_path: str | Path,
+    res_increase: int = 1,
+    slab_rows: int = 8,
+    mesh=None,
+):
+    """Dense evaluation -> marching cubes on (1 - occupancy) at level
+    threshold_p -> OBJ (reference model/ifnet.py:232-234)."""
+    value_grid = evaluate_on_grid(
+        model, variables, grid, resolution, res_increase, slab_rows, mesh
+    )
+    from sv3d_tpu.utils.visualize import visualize_sdf
+
+    return visualize_sdf(1.0 - value_grid, output_path, level=threshold_p)

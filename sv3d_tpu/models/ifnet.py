@@ -1,0 +1,254 @@
+"""IF-Net implicit occupancy network (TPU-native flax rebuild of reference
+model/ifnet.py).
+
+Two architecture variants, selected by IFNetConfig.net_res (reference
+model/ifnet.py:16-29):
+  * 128-res: 6 feature levels (input + conv stages of 16/32/64/128/128
+    channels with maxpool-2 between stages), displacement 0.0722,
+    align_corners=False sampling, MLP 2583 -> 256 -> 256 -> 256 -> 1.
+  * 32-res: 4 feature levels (input + 64/128/128), displacement 0.035,
+    align_corners=True sampling, MLP 2247 -> 512 -> 256 -> 256 -> 1.
+
+TPU-native design decisions:
+  * Convs run in NDHWC; query features flow CHANNEL-MAJOR (B, C, N) so the
+    query-point dimension N stays on the 128-lane axis (see
+    sv3d_tpu/ops/grid_sample.py for why (B, N, C) layouts OOM on TPU).
+  * The per-point MLP is a stack of 1x1 "point convs" — einsum('hf,bfn->bhn')
+    MXU contractions over the feature axis, exactly the shape the reference's
+    Conv1d(k=1) decoder has (model/ifnet.py:19-35).
+  * encode() and query() are SEPARATE.  The reference recomputes the whole
+    conv pyramid for every point chunk during dense-grid inference (reference
+    model/ifnet.py:222-225); here the pyramid is encoded once and only the
+    query sweeps over point tiles.
+  * TWO query paths:
+      query()          — arbitrary points, gather-based (training supervision
+                         points; a few thousand per step).
+      query_lattice()  — dense regular lattices (inference sweeps); trilinear
+                         interpolation of a lattice is a separable resize, so
+                         each level is interpolated with three small banded
+                         matmuls (sv3d_tpu/ops/lattice.py) — no gathers, pure
+                         MXU.  XLA's per-point gathers measure ~0.5M pts/s on
+                         v5e; the lattice path replaces them entirely.
+  * Query points use the framework convention: (B, N, 3) in [-0.5, 0.5] with
+    points[..., i] addressing grid axis i.  No axis swap exists (the reference
+    needs one at model/ifnet.py:94-95 purely for torch's reversed grid_sample
+    indexing).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sv3d_tpu.config import IFNetConfig
+from sv3d_tpu.ops.grid_sample import (
+    Pyramid,
+    displacement_axes,
+    flatten_grid,
+    sample_trilinear_flat,
+)
+from sv3d_tpu.ops.lattice import axis_matrices, displaced_resizes_cm
+
+
+class _ConvBlock(nn.Module):
+    """Conv3d(k3 p1) + ReLU pair(s) + BatchNorm, one pyramid stage."""
+
+    features: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for f in self.features:
+            x = nn.relu(nn.Conv(f, (3, 3, 3), padding=((1, 1),) * 3)(x))
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        return x
+
+
+_point_conv_init = nn.initializers.variance_scaling(
+    1.0, "fan_in", "truncated_normal", in_axis=1, out_axis=0
+)
+
+
+class PointConv(nn.Module):
+    """1x1 conv over channel-major point features: (B, F, N) -> (B, H, N).
+    The TPU-native equivalent of the reference's nn.Conv1d(F, H, 1)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", _point_conv_init, (self.features, x.shape[1]))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        y = jnp.einsum("hf,bfn->bhn", kernel, x)
+        return y + bias[None, :, None]
+
+
+def _maxpool2(x):
+    return nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+
+
+class IFNet(nn.Module):
+    """Multi-scale implicit occupancy network.
+
+    __call__(grid, points) -> (B, N) occupancy logits, or use
+    encode(grid) -> pyramid / query(pyramid, points) separately.
+    grid: (B, D0, D1, D2, 1) channels-last occupancy volume.
+    points: (B, N, 3) in [-0.5, 0.5].
+    """
+
+    config: IFNetConfig = IFNetConfig()
+
+    def setup(self):
+        cfg = self.config
+        if cfg.net_res == 128:
+            # reference model/ifnet.py:126-142
+            self.stages = [
+                _ConvBlock([16]),
+                _ConvBlock([32, 32]),
+                _ConvBlock([64, 64]),
+                _ConvBlock([128, 128]),
+                _ConvBlock([128, 128]),
+            ]
+            hidden = (cfg.hidden_dim, cfg.hidden_dim, cfg.hidden_dim)
+        elif cfg.net_res == 32:
+            # reference model/ifnet.py:69-80
+            self.stages = [
+                _ConvBlock([32, 64]),
+                _ConvBlock([128, 128]),
+                _ConvBlock([128, 128]),
+            ]
+            hidden = (cfg.hidden_dim * 2, cfg.hidden_dim, cfg.hidden_dim)
+        else:
+            raise ValueError(f"net_res must be 128 or 32, got {cfg.net_res}")
+        # first MLP layer held as a raw param so the lattice path can apply it
+        # block-wise per (level, displacement) without materializing the full
+        # (B, sumC*7, N) feature tensor
+        self.fc0_kernel = self.param(
+            "fc0_kernel", _point_conv_init, (hidden[0], self.feature_size)
+        )
+        self.fc0_bias = self.param("fc0_bias", nn.initializers.zeros_init(), (hidden[0],))
+        self.fcs = [PointConv(h) for h in hidden[1:]]
+        self.fc_out = PointConv(1)
+
+    def encode(self, grid: jnp.ndarray, train: bool = True) -> Pyramid:
+        """Run the conv pyramid once and flatten each level into the
+        channel-major gather layout.  Returns a Pyramid (level 0 is the raw
+        input grid); its dims are static so it can cross jit boundaries."""
+        levels = [flatten_grid(grid)]
+        x = grid
+        for i, stage in enumerate(self.stages):
+            x = stage(x, train)
+            levels.append(flatten_grid(x))
+            if i < len(self.stages) - 1:
+                x = _maxpool2(x)
+        return Pyramid([f for f, _ in levels], [d for _, d in levels])
+
+    def _mlp_tail(self, h: jnp.ndarray) -> jnp.ndarray:
+        """Hidden layers after fc0: (B, H, N) -> (B, N) logits."""
+        h = nn.relu(h)
+        for fc in self.fcs:
+            h = nn.relu(fc(h))
+        return self.fc_out(h)[:, 0, :]
+
+    def query(self, levels: Pyramid, points: jnp.ndarray) -> jnp.ndarray:
+        """Evaluate occupancy logits at ARBITRARY query points (gather path)."""
+        cfg = self.config
+        b, n, _ = points.shape
+        # [-0.5, 0.5] -> [-1, 1] per-axis coords, then 7 displaced copies
+        p_axes = (2.0 * points[..., 0], 2.0 * points[..., 1], 2.0 * points[..., 2])
+        pd = displacement_axes(p_axes, cfg.displacement)  # three (B, 7N)
+
+        feats = [
+            sample_trilinear_flat(flat, dims, pd, align_corners=cfg.align_corners)
+            for flat, dims in levels
+        ]  # each (B, C_l, 7N)
+        f = jnp.concatenate(feats, axis=1)  # (B, sumC, 7N)
+        # (B, sumC, 7, N) -> (B, sumC*7, N); feature index = c*7 + displacement
+        f = f.reshape(b, f.shape[1], 7, n).reshape(b, f.shape[1] * 7, n)
+
+        h = jnp.einsum("hf,bfn->bhn", self.fc0_kernel, f) + self.fc0_bias[None, :, None]
+        return self._mlp_tail(h)
+
+    def query_lattice(
+        self,
+        levels: Pyramid,
+        resolution,
+        res_increase: int = 1,
+        slab_rows: int = 8,
+        row_offset=0,
+        compute_dtype=jnp.bfloat16,
+    ) -> jnp.ndarray:
+        """Evaluate occupancy logits on a slab of the DENSE LATTICE over
+        [-0.5, 0.5]^3 (rows [row_offset, row_offset+slab_rows) of lattice
+        axis 0) — the separable-resize fast path for dense-grid inference.
+
+        Returns (B, slab_rows, r1, r2) logits where r_i = resolution[i] *
+        res_increase.  row_offset may be a traced scalar (one compilation
+        serves every slab).
+
+        Bandwidth notes (this path is HBM-bound, not MXU-bound): resizes and
+        the first MLP layer run in compute_dtype (bf16 by default — MXU
+        accumulates in f32 regardless); per-displacement features are
+        concatenated so fc0 runs as 7 matmuls with K=sum(C) instead of 42
+        accumulating passes over the (256, N_slab) hidden tensor."""
+        cfg = self.config
+        r = tuple(int(x) * res_increase for x in resolution)
+        r0p = -(-r[0] // slab_rows) * slab_rows  # padded row count
+        n_slab = slab_rows * r[1] * r[2]
+
+        hidden0 = self.fc0_kernel.shape[0]
+        sum_c = sum(cfg.feature_channels)
+        w1 = self.fc0_kernel.reshape(hidden0, sum_c, 7).astype(compute_dtype)
+
+        # per-displacement feature stacks: feats[d] -> (B, sum_c, n_slab)
+        feats = [[] for _ in range(7)]
+        for flat, dims in levels:
+            b, c, _ = flat.shape
+            vol = flat.reshape(b, c, *dims).astype(compute_dtype)
+            # per-axis interpolation matrices (numpy constants)
+            m0c_full, m0m_full, m0p_full = axis_matrices(
+                r[0], dims[0], cfg.align_corners, cfg.displacement
+            )
+            pad0 = ((0, r0p - r[0]), (0, 0))
+            mats0 = tuple(
+                jax.lax.dynamic_slice(
+                    jnp.asarray(np.pad(m, pad0), dtype=compute_dtype),
+                    (row_offset, 0),
+                    (slab_rows, dims[0]),
+                )
+                for m in (m0c_full, m0m_full, m0p_full)
+            )
+            mats1 = tuple(
+                jnp.asarray(m, dtype=compute_dtype)
+                for m in axis_matrices(r[1], dims[1], cfg.align_corners, cfg.displacement)
+            )
+            mats2 = tuple(
+                jnp.asarray(m, dtype=compute_dtype)
+                for m in axis_matrices(r[2], dims[2], cfg.align_corners, cfg.displacement)
+            )
+
+            vols7 = displaced_resizes_cm(vol, mats0, mats1, mats2)
+            for d, vd in enumerate(vols7):
+                feats[d].append(vd.reshape(b, c, n_slab))
+
+        h = None
+        for d in range(7):
+            fd = jnp.concatenate(feats[d], axis=1)  # (B, sum_c, n_slab)
+            contrib = jnp.einsum(
+                "hc,bcn->bhn", w1[:, :, d], fd, preferred_element_type=jnp.float32
+            )
+            h = contrib if h is None else h + contrib
+
+        h = h + self.fc0_bias[None, :, None]
+        logits = self._mlp_tail(h.astype(jnp.float32))  # (B, n_slab)
+        return logits.reshape(-1, slab_rows, r[1], r[2])
+
+    def __call__(self, grid: jnp.ndarray, points: jnp.ndarray, train: bool = True):
+        return self.query(self.encode(grid, train), points)
+
+    @property
+    def feature_size(self) -> int:
+        return sum(self.config.feature_channels) * 7

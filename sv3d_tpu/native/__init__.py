@@ -1,0 +1,151 @@
+"""ctypes bindings for the native geometry runtime (libgeom.so).
+
+Auto-builds with make on first import if the shared library is missing or
+older than the source.  Exposes:
+  marching_cubes(volume, level) -> (vertices, triangles)
+  TriangleHash(triangles2d, resolution).query(points2d) -> (point_idx, tri_idx)
+  KDTree(points).query(queries) -> (distances, indices)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_LIB_PATH = _DIR / "libgeom.so"
+_SRC_PATH = _DIR / "geomlib.cpp"
+
+
+def _ensure_built():
+    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC_PATH.stat().st_mtime:
+        subprocess.run(["make", "-C", str(_DIR)], check=True, capture_output=True)
+
+
+class _McResult(ctypes.Structure):
+    _fields_ = [
+        ("verts", ctypes.POINTER(ctypes.c_float)),
+        ("n_verts", ctypes.c_int64),
+        ("tris", ctypes.POINTER(ctypes.c_int32)),
+        ("n_tris", ctypes.c_int64),
+    ]
+
+
+class _ThResult(ctypes.Structure):
+    _fields_ = [
+        ("point_idx", ctypes.POINTER(ctypes.c_int32)),
+        ("tri_idx", ctypes.POINTER(ctypes.c_int32)),
+        ("n", ctypes.c_int64),
+    ]
+
+
+def _load():
+    _ensure_built()
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.mc_run.restype = ctypes.POINTER(_McResult)
+    lib.mc_run.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+    ]
+    lib.mc_free.argtypes = [ctypes.POINTER(_McResult)]
+    lib.th_build.restype = ctypes.c_void_p
+    lib.th_build.argtypes = [ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int]
+    lib.th_query.restype = ctypes.POINTER(_ThResult)
+    lib.th_query.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+    lib.th_free_result.argtypes = [ctypes.POINTER(_ThResult)]
+    lib.th_free.argtypes = [ctypes.c_void_p]
+    lib.kd_build.restype = ctypes.c_void_p
+    lib.kd_build.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.kd_query.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.kd_free.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_lib = _load()
+
+
+def marching_cubes(volume: np.ndarray, level: float):
+    """Extract an isosurface mesh.  volume: (nx, ny, nz) float; vertices are in
+    voxel-index coordinates (PyMCubes convention, reference
+    util/visualize.py:23-25)."""
+    vol = np.ascontiguousarray(volume, dtype=np.float32)
+    nx, ny, nz = vol.shape
+    res = _lib.mc_run(
+        vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nx, ny, nz, float(level)
+    )
+    try:
+        nv, nt = res.contents.n_verts, res.contents.n_tris
+        verts = np.ctypeslib.as_array(res.contents.verts, shape=(nv, 3)).copy() if nv else np.zeros((0, 3), np.float32)
+        tris = np.ctypeslib.as_array(res.contents.tris, shape=(nt, 3)).copy() if nt else np.zeros((0, 3), np.int32)
+    finally:
+        _lib.mc_free(res)
+    return verts, tris
+
+
+class TriangleHash:
+    """2-D spatial hash of triangle bounding boxes (reference
+    triangle_hash.pyx:9-86)."""
+
+    def __init__(self, triangles2d: np.ndarray, resolution: int):
+        tris = np.ascontiguousarray(triangles2d, dtype=np.float64)
+        assert tris.ndim == 3 and tris.shape[1:] == (3, 2), tris.shape
+        self._h = _lib.th_build(
+            tris.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            tris.shape[0], int(resolution),
+        )
+
+    def query(self, points2d: np.ndarray):
+        pts = np.ascontiguousarray(points2d, dtype=np.float64)
+        assert pts.ndim == 2 and pts.shape[1] == 2
+        res = _lib.th_query(
+            self._h, pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), pts.shape[0]
+        )
+        try:
+            n = res.contents.n
+            pi = np.ctypeslib.as_array(res.contents.point_idx, shape=(n,)).copy() if n else np.zeros(0, np.int32)
+            ti = np.ctypeslib.as_array(res.contents.tri_idx, shape=(n,)).copy() if n else np.zeros(0, np.int32)
+        finally:
+            _lib.th_free_result(res)
+        return pi.astype(np.int64), ti.astype(np.int64)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            _lib.th_free(self._h)
+            self._h = None
+
+
+class KDTree:
+    """Nearest-neighbour KD-tree over 3-D points (pykdtree equivalent,
+    reference util/evaluate.py:105-106)."""
+
+    def __init__(self, points: np.ndarray):
+        pts = np.ascontiguousarray(points, dtype=np.float32)
+        assert pts.ndim == 2 and pts.shape[1] == 3
+        self._n = pts.shape[0]
+        self._h = _lib.kd_build(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pts.shape[0]
+        )
+
+    def query(self, queries: np.ndarray):
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        assert q.ndim == 2 and q.shape[1] == 3
+        dist = np.empty(q.shape[0], dtype=np.float32)
+        idx = np.empty(q.shape[0], dtype=np.int64)
+        _lib.kd_query(
+            self._h,
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), q.shape[0],
+            dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return dist, idx
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            _lib.kd_free(self._h)
+            self._h = None

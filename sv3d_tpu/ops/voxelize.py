@@ -27,35 +27,34 @@ def scatter_voxels(points: jnp.ndarray, dims: tuple, eps: float = 1e-6) -> jnp.n
       (B, D0, D1, D2) float grid, clamped to [0, 1].  Differentiable in points.
     """
     d0, d1, d2 = (int(d) for d in dims)
-    sizes = jnp.asarray([d0, d1, d2], dtype=points.dtype)
 
-    valid = jnp.all((points < 0.5 - eps) & (points > -0.5 + eps), axis=-1)
-    # continuous voxel coords in [0, dims-1] (reference model/projection.py:46)
-    grid = (points + 0.5) * (sizes - 1.0)
-    gf = jnp.floor(grid)
-    frac = grid - gf
-    i0 = gf.astype(jnp.int32)
+    # per-axis index math on (B, N) arrays — (B, N, 3) intermediates would be
+    # lane-padded 42x by the TPU (8, 128) tile layout
+    axes = []
+    valid = None
+    for a, size in ((0, d0), (1, d1), (2, d2)):
+        p = points[..., a]
+        va = (p < 0.5 - eps) & (p > -0.5 + eps)
+        valid = va if valid is None else (valid & va)
+        # continuous voxel coords in [0, size-1] (reference model/projection.py:46)
+        g = (p + 0.5) * (size - 1.0)
+        gf = jnp.floor(g)
+        axes.append((gf.astype(jnp.int32), g - gf))
 
+    (i0, f0), (i1, f1), (i2, f2) = axes
     nflat = d0 * d1 * d2
-
-    def scatter_one(i0_s, frac_s, valid_s):
-        vox = jnp.zeros((nflat,), dtype=points.dtype)
-        for c0 in (0, 1):
-            for c1 in (0, 1):
-                for c2 in (0, 1):
-                    idx = i0_s + jnp.asarray([c0, c1, c2], dtype=jnp.int32)
-                    w = (
-                        (frac_s[:, 0] if c0 else 1.0 - frac_s[:, 0])
-                        * (frac_s[:, 1] if c1 else 1.0 - frac_s[:, 1])
-                        * (frac_s[:, 2] if c2 else 1.0 - frac_s[:, 2])
-                    )
-                    w = jnp.where(valid_s, w, 0.0)
-                    lin = (idx[:, 0] * d1 + idx[:, 1]) * d2 + idx[:, 2]
-                    lin = jnp.where(valid_s, lin, 0)
-                    vox = vox.at[lin].add(w)
-        return vox
-
-    vox = jax.vmap(scatter_one)(i0, frac, valid)
+    b = points.shape[0]
+    vox = jnp.zeros((b, nflat), dtype=points.dtype)
+    for c0 in (0, 1):
+        w0 = f0 if c0 else 1.0 - f0
+        l0 = i0 + c0
+        for c1 in (0, 1):
+            w01 = w0 * (f1 if c1 else 1.0 - f1)
+            l01 = l0 * d1 + (i1 + c1)
+            for c2 in (0, 1):
+                w = jnp.where(valid, w01 * (f2 if c2 else 1.0 - f2), 0.0)
+                lin = jnp.where(valid, l01 * d2 + (i2 + c2), 0)
+                vox = jax.vmap(lambda v, l, ww: v.at[l].add(ww))(vox, lin, w)
     return jnp.clip(vox.reshape(-1, d0, d1, d2), 0.0, 1.0)
 
 
@@ -86,12 +85,16 @@ def smooth_voxels(voxels: jnp.ndarray, kernels: list) -> jnp.ndarray:
         rhs = kern.reshape(shape).astype(x.dtype)  # (k?,1?,1?, in=1, out=1)
         pad = [(0, 0)] * 3
         pad[axis] = (k // 2, (k - 1) // 2)
+        # HIGHEST precision: the blur is a tiny depthwise conv (not MXU-bound),
+        # and default precision lowers conv operands to bf16 on TPU/CPU which
+        # visibly perturbs the occupancy density field.
         x = jax.lax.conv_general_dilated(
             x,
             rhs,
             window_strides=(1, 1, 1),
             padding=pad,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            precision=jax.lax.Precision.HIGHEST,
         )
     return jnp.clip(x[..., 0], 0.0, 1.0)
 

@@ -1,0 +1,63 @@
+"""Device meshes and sharding rules.
+
+The reference has no multi-device parallelism at all (SURVEY.md §2: every
+trainer pins one GPU).  sv3d_tpu scales through a 2-D jax.sharding.Mesh:
+
+  * axis "dp" — data parallel: the batch dimension of every array in a train
+    batch is sharded over dp; parameters/optimizer state are replicated and
+    XLA inserts psum gradient all-reduces over ICI.
+  * axis "sp" — point parallel: the query-point dimension of dense-grid
+    inference sweeps is sharded over sp (the framework's analog of sequence
+    parallelism; SURVEY.md §5 "long-context").  The conv feature pyramid is
+    replicated across sp while each shard evaluates its own point tile.
+
+Collectives are all emitted by XLA from sharding annotations — there is no
+hand-written communication layer to maintain (the TPU-native answer to the
+reference's absent NCCL/DDP).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Create a (dp, sp) mesh over the first dp*sp available devices."""
+    devices = jax.devices() if devices is None else devices
+    n = dp * sp
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices for dp={dp} sp={sp}, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(dp, sp)
+    return Mesh(arr, axis_names=("dp", "sp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dimension sharded over dp, rest replicated."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def point_sharding(mesh: Mesh, axis: int = 1) -> NamedSharding:
+    """Query-point dimension sharded over sp (axis 1 of (B, N, ...) arrays)."""
+    spec = [None] * (axis + 1)
+    spec[0] = "dp"
+    spec[axis] = "sp"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """device_put every array in a batch dict with the batch dim over dp;
+    non-arrays (names, mesh paths) pass through on host."""
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (np.ndarray, jax.Array)):
+            out[k] = jax.device_put(v, sh)
+        else:
+            out[k] = v
+    return out

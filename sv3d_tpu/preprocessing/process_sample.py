@@ -1,0 +1,139 @@
+"""Offline preprocessing: raw renders -> training-ready grids and occupancy
+samples (reference data_processing/process_sample.py).
+
+Per sample:
+  1. distance.exr -> depth -> frustum grid space -> rounded binary
+     depth_grid.npz  (reference process_sample.py:18-22)
+  2. distance_field.df -> marching-cubes mesh.obj at level 1.0
+     (reference process_sample.py:24-26)
+  3. occupancy_{0.01,0.10}.npz: 100k waterproofed samples per sigma
+     (reference process_sample.py:28-30)
+
+The pipeline variant walks a scene/view tree and quarantines samples that
+raise (reference process_sample.py:43-72).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+
+from sv3d_tpu.geometry.camera import read_intrinsics
+from sv3d_tpu.geometry.frustum import FrustumGrid
+from sv3d_tpu.io.exr import read_exr_channel
+from sv3d_tpu.io.volume import read_df
+from sv3d_tpu.preprocessing.occupancies import sample_points
+from sv3d_tpu.utils.visualize import visualize_sdf
+
+
+def depth_grid_from_distance(
+    distance_path: str | Path, intrinsic_path: str | Path, down_scale_factor: int = 1
+):
+    """distance.exr -> (grid-space points, binary voxel grid).  numpy host path
+    (twin of the jitted sv3d_tpu.geometry pipeline, kept in numpy so
+    preprocessing needs no accelerator)."""
+    from sv3d_tpu.data.datasets import _distance_to_depth_np
+
+    intr = read_intrinsics(intrinsic_path)
+    frustum = FrustumGrid.create(intr, voxel_size=0.05 * down_scale_factor)
+    dist = read_exr_channel(distance_path, "R")
+    depth = _distance_to_depth_np(dist, intr.focal_length)
+
+    h, w = depth.shape
+    u = np.arange(w, dtype=np.float32)[None, :]
+    v = np.arange(h, dtype=np.float32)[:, None]
+    x = (u - intr.cx) * depth / intr.focal_length
+    y = -((v - intr.cy) * depth) / intr.focal_length
+    pts = np.stack([x, y, depth], axis=-1).reshape(-1, 3)
+    c2f = frustum.matrix
+    scale = np.array([c2f[0, 0], c2f[1, 1], c2f[2, 2]], dtype=np.float32)
+    shift = c2f[:3, 3]
+    pts = pts * scale + shift
+
+    idx = np.round(pts).astype(np.int32)
+    grid = np.zeros(frustum.dims, dtype=np.float64)
+    grid[idx[:, 0], idx[:, 1], idx[:, 2]] = 1  # IndexError when out of dims
+    return pts, grid, frustum.dims
+
+
+def process_sample(
+    dataset_path: str | Path,
+    splitsdir: str,
+    sample_name: str,
+    down_scale_factor: int = 1,
+    num_samples: int = 100000,
+    seed: int = 0,
+):
+    dims = tuple(round(d / down_scale_factor) for d in (139, 104, 112))
+    sample = Path(dataset_path) / "raw" / splitsdir / sample_name
+    out = Path(dataset_path) / "processed" / splitsdir / sample_name
+    out.mkdir(exist_ok=True, parents=True)
+
+    intrinsic = sample / "intrinsic.txt"
+    if not intrinsic.exists():
+        intrinsic = Path(dataset_path) / "intrinsics.txt"
+    _, grid, grid_dims = depth_grid_from_distance(
+        sample / "distance.exr", intrinsic, down_scale_factor
+    )
+    assert tuple(grid_dims) == dims, (grid_dims, dims)
+    np.savez_compressed(out / "depth_grid", grid=grid)
+
+    df = read_df(sample / "distance_field.df", down_scale_factor)
+    visualize_sdf(df, sample / "mesh.obj", level=1.0)
+    shutil.copyfile(sample / "distance_field.df", out / "target.df")
+
+    rng = np.random.default_rng(seed)
+    for sigma in (0.01, 0.1):
+        pts, occ, grid_coords = sample_points(
+            sample / "mesh.obj", dims, num_samples, sigma, rng=rng
+        )
+        np.savez(
+            out / f"occupancy_{sigma:.02f}",
+            points=pts, occupancies=occ, grid_coords=grid_coords,
+        )
+    return out
+
+
+def process_sample_pipeline(
+    dataset_path: str | Path,
+    splitsdir: str,
+    down_scale_factor: int = 1,
+    num_samples: int = 100000,
+    seed: int = 0,
+):
+    """Walk dataset_path/splitsdir/<scene>/<view>; quarantine failures
+    (reference process_sample.py:32-72)."""
+    dims = tuple(round(d / down_scale_factor) for d in (139, 104, 112))
+    d_path = Path(dataset_path) / splitsdir
+    rng = np.random.default_rng(seed)
+    processed, quarantined = [], []
+    for scene in sorted(p.name for p in d_path.iterdir() if p.is_dir()):
+        for view in sorted(p.name for p in (d_path / scene).iterdir() if p.is_dir()):
+            sample = d_path / scene / view
+            try:
+                _, grid, _ = depth_grid_from_distance(
+                    sample / "distance.exr",
+                    Path(dataset_path) / "intrinsics.txt",
+                    down_scale_factor,
+                )
+                np.savez_compressed(sample / "depth_grid", grid=grid)
+                df = read_df(sample / "distance_field.df", down_scale_factor)
+                visualize_sdf(df, sample / "mesh.obj", level=1.0)
+                for sigma in (0.01, 0.1):
+                    pts, occ, grid_coords = sample_points(
+                        sample / "mesh.obj", dims, num_samples, sigma, rng=rng
+                    )
+                    np.savez(
+                        sample / f"occupancy_{sigma:.02f}",
+                        points=pts, occupancies=occ, grid_coords=grid_coords,
+                    )
+                processed.append(str(sample))
+            except (IndexError, AttributeError, ValueError) as e:
+                quarantine = Path(dataset_path) / "quarantine" / splitsdir / scene / view
+                quarantine.parent.mkdir(parents=True, exist_ok=True)
+                print(f"{type(e).__name__} for {sample}; moving to {quarantine}")
+                shutil.move(str(sample), str(quarantine))
+                quarantined.append(str(sample))
+    return processed, quarantined

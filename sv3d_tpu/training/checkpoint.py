@@ -1,0 +1,117 @@
+"""Checkpoint save/restore (orbax) + UNet-only warm start.
+
+Mirrors the reference's checkpointing behavior (SURVEY.md §5): top-k + last
+checkpoints monitored on a validation metric, resume support, and the partial
+warm start that loads only unet.* weights from a depth-regressor checkpoint
+(reference trainer/trainer_scene_net.py:204-212).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _tree_to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    """Saves {params, batch_stats, opt_state, step} trees; keeps the best k by
+    a monitored metric plus 'last' (reference ModelCheckpoint(save_top_k=2,
+    save_last=True, monitor='val_ce_loss'), trainer_scene_net.py:217)."""
+
+    def __init__(self, directory: str | Path, top_k: int = 2, keep_last: bool = True):
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.top_k = top_k
+        self.keep_last = keep_last
+        self._ckpt = ocp.PyTreeCheckpointer()
+        self._scores: list = []  # (metric, path)
+
+    def _save_tree(self, path: Path, tree):
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckpt.save(path.absolute(), _tree_to_numpy(tree))
+
+    def save(self, state, metric: Optional[float] = None, step: Optional[int] = None):
+        step = int(state.step) if step is None else step
+        tree = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": step,
+        }
+        if self.keep_last:
+            self._save_tree(self.directory / "last", tree)
+        if metric is not None and self.top_k != 0:
+            path = self.directory / f"step_{step}"
+            self._save_tree(path, tree)
+            self._scores.append((float(metric), str(path)))
+            self._scores.sort(key=lambda t: t[0])
+            if self.top_k > 0:
+                while len(self._scores) > self.top_k:
+                    _, worst = self._scores.pop()
+                    shutil.rmtree(worst, ignore_errors=True)
+        (self.directory / "manifest.json").write_text(
+            json.dumps({"scores": self._scores, "last_step": step})
+        )
+
+    def restore(self, name: str = "last") -> dict:
+        return self._ckpt.restore((self.directory / name).absolute())
+
+    def best_path(self) -> Optional[str]:
+        return self._scores[0][1] if self._scores else None
+
+
+def restore_tree(path: str | Path) -> dict:
+    return ocp.PyTreeCheckpointer().restore(Path(path).absolute())
+
+
+def _restore_like(template, restored):
+    """Rebuild `restored` (whose containers orbax may have turned into lists/
+    dicts) with the exact pytree structure and dtypes of `template`."""
+    leaves_t, treedef = jax.tree.flatten(template)
+    leaves_r = jax.tree.leaves(restored)
+    if len(leaves_t) != len(leaves_r):
+        raise ValueError(
+            f"checkpoint structure mismatch: {len(leaves_r)} leaves vs "
+            f"{len(leaves_t)} expected"
+        )
+    coerced = [
+        np.asarray(r).astype(t.dtype) if hasattr(t, "dtype") else r
+        for t, r in zip(leaves_t, leaves_r)
+    ]
+    return jax.tree.unflatten(treedef, coerced)
+
+
+def load_state_from_checkpoint(state, path: str | Path):
+    """Full resume: restore params/batch_stats/opt_state/step into `state`."""
+    tree = restore_tree(path)
+    return state.replace(
+        params=_restore_like(state.params, tree["params"]),
+        batch_stats=_restore_like(state.batch_stats, tree["batch_stats"]),
+        opt_state=_restore_like(state.opt_state, tree["opt_state"]),
+        step=int(tree.get("step", 0)),
+    )
+
+
+def load_pretrained_unet(state, path: str | Path):
+    """Warm start: overwrite ONLY the unet parameter/batch-stat subtrees from a
+    checkpoint (any trainer's), leaving project/ifnet untouched
+    (reference trainer/trainer_scene_net.py:204-212)."""
+    tree = restore_tree(path)
+    params = dict(state.params)
+    stats = dict(state.batch_stats)
+    if "unet" not in tree["params"]:
+        raise KeyError(f"checkpoint {path} has no 'unet' params")
+    params["unet"] = tree["params"]["unet"]
+    if tree.get("batch_stats") and "unet" in tree["batch_stats"]:
+        stats["unet"] = tree["batch_stats"]["unet"]
+    return state.replace(params=params, batch_stats=stats)

@@ -1,0 +1,165 @@
+"""Shared training loop: epochs, validation cadence, checkpointing, logging.
+
+Replaces the PyTorch-Lightning Trainer wiring of the reference
+(trainer_scene_net.py:226-231): seed control, val_check_interval as a fraction
+of an epoch, limit_val_batches, top-k checkpointing on a monitored metric, and
+resume — driving jitted train/eval steps instead of a module's training_step.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from sv3d_tpu.config import Config
+from sv3d_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sv3d_tpu.training.checkpoint import CheckpointManager, load_state_from_checkpoint
+from sv3d_tpu.training.logging import MetricLogger
+
+
+class BaseTrainer:
+    """Subclasses implement:
+      build_state(rng_key) -> TrainState
+      train_step(state, batch, rng_key) -> (state, metrics dict)
+      eval_step(state, batch) -> metrics dict
+      train_dataset() / val_dataset() -> dataset objects
+      monitor: str — validation metric name used for checkpoint ranking
+      visualize(state, batch, out_dir) — optional artifact dumps
+    """
+
+    monitor = "val_loss"
+
+    def __init__(self, config: Config, mesh=None, experiment_dir: Optional[Path] = None):
+        self.config = config
+        random.seed(config.seed)
+        np.random.seed(config.seed)
+        self.rng = jax.random.PRNGKey(config.seed)
+
+        if mesh is None and config.dp * config.sp > 1:
+            mesh = make_mesh(config.dp, config.sp)
+        self.mesh = mesh
+
+        self.exp_dir = Path(experiment_dir) if experiment_dir else config.experiment_dir()
+        self.exp_dir.mkdir(parents=True, exist_ok=True)
+        self.ckpt = CheckpointManager(self.exp_dir / "checkpoints")
+        self.logger = MetricLogger(self.exp_dir / "logs")
+        self.global_step = 0
+
+    # -- subclass hooks ------------------------------------------------------
+    def build_state(self, rng_key):
+        raise NotImplementedError
+
+    def train_step(self, state, batch, rng_key):
+        raise NotImplementedError
+
+    def eval_step(self, state, batch):
+        raise NotImplementedError
+
+    def train_dataset(self):
+        raise NotImplementedError
+
+    def val_dataset(self):
+        raise NotImplementedError
+
+    def visualize(self, state, batch, out_dir: Path):
+        pass
+
+    # -- loop ----------------------------------------------------------------
+    def _loader(self, dataset, shuffle: bool, drop_last: bool):
+        from sv3d_tpu.data.loader import DataLoader
+
+        return DataLoader(
+            dataset,
+            batch_size=self.config.batch_size,
+            shuffle=shuffle,
+            drop_last=drop_last,
+            num_workers=self.config.num_workers,
+            seed=self.config.seed,
+        )
+
+    def _next_rng(self):
+        self.rng, key = jax.random.split(self.rng)
+        return key
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def _put_state(self, state):
+        if self.mesh is not None:
+            return jax.device_put(state, replicate(self.mesh))
+        return state
+
+    def validate(self, state, loader, max_batches: Optional[int] = None, do_vis=False):
+        agg: dict = {}
+        count = 0
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            metrics = self.eval_step(state, self._put(batch))
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            if do_vis and self.config.visualize and i == 0:
+                vis_dir = self.exp_dir / "vis" / f"{self.global_step // 100:05d}"
+                vis_dir.mkdir(parents=True, exist_ok=True)
+                self.visualize(state, batch, vis_dir)
+            count += 1
+        return {k: v / max(count, 1) for k, v in agg.items()}
+
+    def fit(self, max_steps: Optional[int] = None):
+        cfg = self.config
+        state = self.build_state(self._next_rng())
+        if cfg.resume:
+            state = load_state_from_checkpoint(state, cfg.resume)
+            self.global_step = int(state.step)
+        state = self._put_state(state)
+
+        train_loader = self._loader(self.train_dataset(), shuffle=True, drop_last=True)
+        val_loader_fn = lambda: self._loader(self.val_dataset(), shuffle=False, drop_last=False)
+
+        steps_per_epoch = max(len(train_loader), 1)
+        if cfg.val_check_interval <= 1:
+            val_every_steps = max(int(steps_per_epoch * min(cfg.val_check_interval, 0.5)), 1)
+            val_every_epochs = 1
+        else:
+            val_every_steps = None
+            val_every_epochs = int(cfg.val_check_interval)
+        n_val = len(val_loader_fn())
+        max_val_batches = max(int(n_val * cfg.val_check_percent), 1)
+
+        # sanity validation steps before training (reference num_sanity_val_steps)
+        if cfg.sanity_steps > 0:
+            self.validate(state, val_loader_fn(), max_batches=cfg.sanity_steps)
+
+        last_val = {}
+        t0 = time.time()
+        for epoch in range(cfg.max_epoch):
+            for batch in train_loader:
+                state, metrics = self.train_step(state, self._put(batch), self._next_rng())
+                self.global_step += 1
+                if self.global_step % 10 == 0 or self.global_step == 1:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["steps_per_sec"] = self.global_step / max(time.time() - t0, 1e-9)
+                    self.logger.log(metrics, self.global_step)
+                if (
+                    val_every_steps is not None
+                    and self.global_step % val_every_steps == 0
+                    and epoch % max(val_every_epochs, 1) == 0
+                ):
+                    last_val = self.validate(
+                        state, val_loader_fn(), max_batches=max_val_batches, do_vis=True
+                    )
+                    self.logger.log(last_val, self.global_step)
+                if max_steps is not None and self.global_step >= max_steps:
+                    self.ckpt.save(state, metric=last_val.get(self.monitor))
+                    return state
+            if (epoch + 1) % max(cfg.save_epoch, 1) == 0:
+                self.ckpt.save(state, metric=last_val.get(self.monitor))
+        self.ckpt.save(state, metric=last_val.get(self.monitor))
+        return state

@@ -1,0 +1,262 @@
+"""End-to-end scene reconstruction trainer
+(reference trainer/trainer_scene_net.py).
+
+Losses (reference trainer_scene_net.py:145-168):
+  ce_loss  = mean BCE-with-logits over all query points
+  mse_loss = mean MSE between predicted and GT depth maps
+  loss     = ce + mse  (ce only when no_depth_sup)
+  mesh_ce  = BCE restricted to the mesh-sampled supervision points
+Also logs the three learnable sigma components.
+
+When subsample_points > 0 the projected point cloud itself is added to the
+query set and its occupancy labels are computed on the host against the GT
+mesh (reference trainer_scene_net.py:112-114 — a device->host boundary mid
+step).  TPU-native structure: a light jitted projection pass produces the
+subsampled cloud, the host labels it (C++ triangle-hash waterproofing), and
+the full jitted train step consumes the labels as an extra input, re-deriving
+the identical subsample from the same rng key.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sv3d_tpu.config import Config
+from sv3d_tpu.data.datasets import SceneNetDataset
+from sv3d_tpu.geometry import FrustumGrid, read_intrinsics
+from sv3d_tpu.models.scene_net import SceneNet
+from sv3d_tpu.training.loop import BaseTrainer
+from sv3d_tpu.training.optim import build_optimizer
+from sv3d_tpu.training.state import TrainState, create_train_state
+
+
+def scene_losses(config: Config, logits, occupancies, depth, depth_target, params):
+    ce = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, occupancies))
+    mse = jnp.mean((depth - depth_target) ** 2)
+    loss = ce + mse
+    if config.subsample_points > 0:
+        s = config.subsample_points
+        mesh_ce = jnp.mean(
+            optax.sigmoid_binary_cross_entropy(logits[:, s:], occupancies[:, s:])
+        )
+    else:
+        mesh_ce = ce
+    sigma = params["project"]["sigma"]
+    metrics = {
+        "ce_loss": ce,
+        "mse_depth_loss": mse,
+        "mesh_ce_loss": mesh_ce,
+        "loss": loss,
+        "sigma_x": sigma[2],
+        "sigma_y": sigma[1],
+        "sigma_z": sigma[0],
+    }
+    train_loss = ce if config.no_depth_sup else loss
+    return train_loss, metrics
+
+
+def make_train_step(model: SceneNet, config: Config):
+    @jax.jit
+    def step(state: TrainState, rgb, depth_target, points, occupancies, rng_key):
+        def loss_fn(params):
+            (logits, depth, _pc), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                rgb, depth_target, points,
+                train=True, subsample_rng=rng_key,
+                mutable=["batch_stats"],
+            )
+            train_loss, metrics = scene_losses(
+                config, logits, occupancies, depth, depth_target, params
+            )
+            return train_loss, (metrics, mutated)
+
+        (_, (metrics, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads, batch_stats=mutated["batch_stats"])
+        return state, {f"train_{k}" if not k.startswith("sigma") else k: v
+                       for k, v in metrics.items()}
+
+    return step
+
+
+def make_eval_step(model: SceneNet, config: Config):
+    @jax.jit
+    def step(state: TrainState, rgb, depth_target, points, occupancies, rng_key):
+        logits, depth, pc = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            rgb, depth_target, points, train=False, subsample_rng=rng_key,
+        )
+        _, metrics = scene_losses(
+            config, logits, occupancies, depth, depth_target, state.params
+        )
+        return (logits, depth, pc), {
+            f"val_{k}" if not k.startswith("sigma") else k: v for k, v in metrics.items()
+        }
+
+    return step
+
+
+def make_project_step(model: SceneNet, config: Config):
+    """Light pass producing the subsampled projected cloud for host labeling."""
+
+    @jax.jit
+    def step(state: TrainState, rgb, depth_target, rng_key):
+        def fwd(params):
+            depth = (
+                depth_target
+                if config.skip_unet
+                else model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    rgb, train=False, method=SceneNet.predict_depth,
+                )
+            )
+            pc = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                depth, method=SceneNet.project_depth,
+            )
+            n_pixels = depth.shape[-2] * depth.shape[-1]
+            idx = jax.random.permutation(rng_key, n_pixels)[: config.subsample_points]
+            return pc[:, idx, :]
+
+        return fwd(state.params)
+
+    return step
+
+
+class SceneNetTrainer(BaseTrainer):
+    monitor = "val_ce_loss"
+
+    def __init__(self, config: Config, **kw):
+        super().__init__(config, **kw)
+        intr_path = Path(config.datasetdir) / "intrinsics.txt"
+        if not intr_path.exists():
+            raise FileNotFoundError(f"expected shared intrinsics at {intr_path}")
+        self.intrinsics = read_intrinsics(intr_path)
+        self.frustum = FrustumGrid.create(
+            self.intrinsics, voxel_size=0.05 * config.scale_factor
+        )
+        if self.frustum.dims != config.dims:
+            raise ValueError(
+                f"frustum dims {self.frustum.dims} != config dims {config.dims}"
+            )
+        self.model = SceneNet(config, self.intrinsics, self.frustum)
+        self._train_step = make_train_step(self.model, config)
+        self._eval_step = make_eval_step(self.model, config)
+        self._project_step = (
+            make_project_step(self.model, config) if config.subsample_points > 0 else None
+        )
+
+    def build_state(self, rng_key):
+        cfg = self.config
+        if cfg.resize_input:
+            rgb = jnp.zeros((1, cfg.W, cfg.W, 3))
+        else:
+            rgb = jnp.zeros((1, 240, 320, 3))
+        depth_t = jnp.full((1, 240, 320), 2.0)
+        pts = jnp.zeros((1, 8, 3))
+        variables = self.model.init(
+            rng_key, rgb, depth_t, pts, train=False,
+            subsample_rng=jax.random.PRNGKey(0),
+        )
+        tx = build_optimizer(cfg.lr, variables["params"])
+        state = create_train_state(self.model, variables, tx)
+        if cfg.pretrain_unet:
+            from sv3d_tpu.training.checkpoint import load_pretrained_unet
+
+            state = load_pretrained_unet(state, cfg.pretrain_unet)
+        return state
+
+    def train_dataset(self):
+        c = self.config
+        return SceneNetDataset(
+            "train", c.datasetdir, c.num_points, c.splitsdir,
+            c.resize_input, c.W, seed=c.seed,
+        )
+
+    def val_dataset(self):
+        c = self.config
+        return SceneNetDataset(
+            "val", c.datasetdir, c.num_points, c.splitsdir,
+            c.resize_input, c.W, seed=c.seed,
+        )
+
+    def _occupancies_with_pc(self, state, batch, rng_key):
+        """Host labeling of the projected subsample (reference
+        trainer_scene_net.py:112-114)."""
+        from sv3d_tpu.preprocessing.occupancies import determine_occupancy
+
+        pc = np.asarray(
+            self._project_step(state, batch["rgb"], batch["depthmap_target"], rng_key)
+        )
+        _, occ_pc = determine_occupancy(batch["mesh"], pc, dims=self.config.dims)
+        return np.concatenate([occ_pc.astype(np.float32), batch["occupancies"]], axis=1)
+
+    def train_step(self, state, batch, rng_key):
+        if self.config.subsample_points > 0:
+            occupancies = self._occupancies_with_pc(state, batch, rng_key)
+        else:
+            occupancies = batch["occupancies"]
+        return self._train_step(
+            state, batch["rgb"], batch["depthmap_target"], batch["points"],
+            occupancies, rng_key,
+        )
+
+    def eval_step(self, state, batch):
+        rng_key = jax.random.PRNGKey(0)
+        if self.config.subsample_points > 0:
+            occupancies = self._occupancies_with_pc(state, batch, rng_key)
+        else:
+            occupancies = batch["occupancies"]
+        _, metrics = self._eval_step(
+            state, batch["rgb"], batch["depthmap_target"], batch["points"],
+            occupancies, rng_key,
+        )
+        return metrics
+
+    def visualize(self, state, batch, out_dir: Path):
+        from sv3d_tpu.inference.dense_grid import implicit_to_mesh
+        from sv3d_tpu.utils.visualize import visualize_depthmap, visualize_grid
+
+        rng_key = jax.random.PRNGKey(0)
+        occ = batch["occupancies"]
+        if self.config.subsample_points > 0:
+            occ = self._occupancies_with_pc(state, batch, rng_key)
+        (logits, depth, pc), _ = self._eval_step(
+            state, batch["rgb"], batch["depthmap_target"], batch["points"], occ, rng_key
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        vox = self.model.apply(variables, jnp.asarray(pc), method=lambda m, p: m.project(p))
+        # standalone IFNet view over the scene-net's ifnet parameter subtree,
+        # used for dense-grid mesh extraction
+        from sv3d_tpu.models.ifnet import IFNet
+
+        ifnet = IFNet(self.config.ifnet())
+        ifnet_vars = {
+            "params": state.params["ifnet"],
+            "batch_stats": state.batch_stats.get("ifnet", {}),
+        }
+        for i, name in enumerate(batch["name"]):
+            base = "_".join(str(name).split("/")[-3:])
+            visualize_grid(np.asarray(vox[i, ..., 0]), out_dir / f"{base}_voxelized.obj")
+            implicit_to_mesh(
+                ifnet, ifnet_vars, vox[i : i + 1], self.config.dims, 0.5,
+                out_dir / f"{base}_predicted.obj", res_increase=self.config.inf_res,
+            )
+            visualize_depthmap(np.asarray(depth[i]), out_dir / f"{base}_depthmap", flip=True)
+
+
+def train_scene_net(config: Config, max_steps=None):
+    trainer = SceneNetTrainer(config)
+    return trainer.fit(max_steps=max_steps)
+
+
+if __name__ == "__main__":
+    from sv3d_tpu.training.cli import parse_config
+
+    train_scene_net(parse_config())

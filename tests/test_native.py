@@ -1,0 +1,77 @@
+"""Native C++ geometry runtime tests: marching cubes, triangle hash, KD-tree."""
+
+import numpy as np
+import pytest
+
+from sv3d_tpu.native import KDTree, TriangleHash, marching_cubes
+
+
+def test_marching_cubes_sphere():
+    n = 32
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    sdf = np.sqrt(((g - n / 2) ** 2).sum(axis=0)) - 10.0
+    verts, tris = marching_cubes(sdf, 0.0)
+    assert len(verts) > 500 and len(tris) > 500
+    r = np.linalg.norm(verts - n / 2, axis=1)
+    assert abs(r.mean() - 10.0) < 0.05
+    assert r.std() < 0.05
+    assert tris.min() >= 0 and tris.max() < len(verts)
+
+
+def test_marching_cubes_empty():
+    vol = np.zeros((8, 8, 8), dtype=np.float32)
+    verts, tris = marching_cubes(vol, 0.5)
+    assert len(verts) == 0 and len(tris) == 0
+
+
+def test_marching_cubes_watertight_plane():
+    """A half-filled volume produces a plane at the interpolated level."""
+    vol = np.zeros((4, 8, 8), dtype=np.float32)
+    vol[2:] = 1.0
+    verts, tris = marching_cubes(vol, 0.5)
+    # isosurface at x = 1.5
+    assert len(verts) > 0
+    np.testing.assert_allclose(verts[:, 0], 1.5, atol=1e-6)
+
+
+def test_triangle_hash_pairs():
+    tris = np.array(
+        [
+            [[1.0, 1.0], [3.0, 1.0], [1.0, 3.0]],
+            [[5.0, 5.0], [6.0, 5.0], [5.0, 6.0]],
+        ]
+    )
+    th = TriangleHash(tris, 8)
+    pi, ti = th.query(np.array([[1.5, 1.5], [5.2, 5.2], [7.5, 7.5], [-1.0, 0.0]]))
+    pairs = set(zip(pi.tolist(), ti.tolist()))
+    assert (0, 0) in pairs
+    assert (1, 1) in pairs
+    # out-of-bounds and empty-cell points yield no pairs
+    assert not any(p == 2 or p == 3 for p, _ in pairs)
+
+
+def test_triangle_hash_bbox_overlap():
+    """A triangle is bucketed in every cell its bbox overlaps."""
+    tris = np.array([[[0.5, 0.5], [3.5, 0.5], [0.5, 3.5]]])
+    th = TriangleHash(tris, 8)
+    # a point in the bbox but outside the triangle still yields a candidate
+    pi, ti = th.query(np.array([[3.2, 3.2]]))
+    assert len(pi) == 1
+
+
+def test_kdtree_matches_bruteforce(rng):
+    pts = rng.random((2000, 3)).astype(np.float32)
+    q = rng.random((500, 3)).astype(np.float32)
+    kd = KDTree(pts)
+    dist, idx = kd.query(q)
+    d2 = np.sqrt(((q[:, None] - pts[None]) ** 2).sum(-1))
+    np.testing.assert_allclose(dist, d2.min(axis=1), atol=1e-5)
+    assert (idx == d2.argmin(axis=1)).all()
+
+
+def test_kdtree_exact_hits(rng):
+    pts = rng.random((100, 3)).astype(np.float32)
+    kd = KDTree(pts)
+    dist, idx = kd.query(pts)
+    np.testing.assert_allclose(dist, 0, atol=1e-6)
+    assert (idx == np.arange(100)).all()
