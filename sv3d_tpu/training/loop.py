@@ -137,12 +137,34 @@ class BaseTrainer:
         if cfg.sanity_steps > 0:
             self.validate(state, val_loader_fn(), max_batches=cfg.sanity_steps)
 
+        from sv3d_tpu.utils.profiling import StepTimer, trace
+
+        timer = StepTimer() if cfg.profiler else None
+        if cfg.profiler == "advanced":
+            self._trace_ctx = trace(self.exp_dir / "profile")
+            self._trace_ctx.__enter__()
+
         last_val = {}
         t0 = time.time()
         for epoch in range(cfg.max_epoch):
             for batch in train_loader:
-                state, metrics = self.train_step(state, self._put(batch), self._next_rng())
+                if timer:
+                    with timer.section("train_step"):
+                        state, metrics = self.train_step(
+                            state, self._put(batch), self._next_rng()
+                        )
+                else:
+                    state, metrics = self.train_step(
+                        state, self._put(batch), self._next_rng()
+                    )
                 self.global_step += 1
+                if (
+                    cfg.profiler == "advanced"
+                    and getattr(self, "_trace_ctx", None) is not None
+                    and self.global_step >= 20
+                ):
+                    self._trace_ctx.__exit__(None, None, None)
+                    self._trace_ctx = None
                 if self.global_step % 10 == 0 or self.global_step == 1:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     metrics["steps_per_sec"] = self.global_step / max(time.time() - t0, 1e-9)
@@ -162,4 +184,9 @@ class BaseTrainer:
             if (epoch + 1) % max(cfg.save_epoch, 1) == 0:
                 self.ckpt.save(state, metric=last_val.get(self.monitor))
         self.ckpt.save(state, metric=last_val.get(self.monitor))
+        if getattr(self, "_trace_ctx", None) is not None:
+            self._trace_ctx.__exit__(None, None, None)
+            self._trace_ctx = None
+        if timer:
+            timer.dump(self.exp_dir / "profile_simple.json")
         return state

@@ -138,13 +138,12 @@ class SceneNetTrainer(BaseTrainer):
         if not intr_path.exists():
             raise FileNotFoundError(f"expected shared intrinsics at {intr_path}")
         self.intrinsics = read_intrinsics(intr_path)
+        # voxel-grid dims follow round(FULL_DIMS/scale) (reference
+        # trainer_scene_net.py:30-31); the frustum's ceil-derived dims may
+        # differ slightly — only its camera2frustum matrix is used.
         self.frustum = FrustumGrid.create(
             self.intrinsics, voxel_size=0.05 * config.scale_factor
         )
-        if self.frustum.dims != config.dims:
-            raise ValueError(
-                f"frustum dims {self.frustum.dims} != config dims {config.dims}"
-            )
         self.model = SceneNet(config, self.intrinsics, self.frustum)
         self._train_step = make_train_step(self.model, config)
         self._eval_step = make_eval_step(self.model, config)
@@ -251,8 +250,41 @@ class SceneNetTrainer(BaseTrainer):
             visualize_depthmap(np.asarray(depth[i]), out_dir / f"{base}_depthmap", flip=True)
 
 
+    def test_dataset(self):
+        c = self.config
+        return SceneNetDataset(
+            "test", c.datasetdir, c.num_points, c.splitsdir,
+            c.resize_input, c.W, seed=c.seed,
+        )
+
+    def test(self, checkpoint: str, max_batches=None):
+        """Load a checkpoint and run the test split with visualization dumps
+        (reference trainer_scene_net.py:234-240: the current config's inf_res /
+        scale_factor / skip_unet override the checkpoint's)."""
+        from sv3d_tpu.training.checkpoint import load_state_from_checkpoint
+
+        state = self.build_state(self._next_rng())
+        state = load_state_from_checkpoint(state, checkpoint)
+        state = self._put_state(state)
+        loader = self._loader(self.test_dataset(), shuffle=False, drop_last=False)
+        out_dir = self.exp_dir / "test_vis"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        metrics = {}
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            self.visualize(state, self._put(batch), out_dir)
+            m = self.eval_step(state, self._put(batch))
+            for k, v in m.items():
+                metrics[k] = metrics.get(k, 0.0) + float(v)
+        n = max(i + 1, 1)
+        return {k: v / n for k, v in metrics.items()}
+
+
 def train_scene_net(config: Config, max_steps=None):
     trainer = SceneNetTrainer(config)
+    if config.test is not None:
+        return trainer.test(config.test)
     return trainer.fit(max_steps=max_steps)
 
 

@@ -3,15 +3,20 @@ multi-chip sharding tests run anywhere (SURVEY.md §4)."""
 
 import os
 
-# JAX_PLATFORMS may be preset (e.g. to a tunneled TPU); tests always run on the
-# CPU backend with virtual devices unless explicitly overridden.
-if os.environ.get("SV3D_TEST_ON_TPU", "0") != "1":
-    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Tests run on the CPU backend with 8 virtual devices unless explicitly
+# overridden.  NOTE: the JAX_PLATFORMS env var is IGNORED in this environment
+# (a TPU platform plugin overrides it); only jax.config.update works, and it
+# must happen before the backend initializes.
+if os.environ.get("SV3D_TEST_ON_TPU", "0") != "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: this box has a single CPU core and large-model
 # compiles run 60-90 s; caching makes reruns near-instant
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
