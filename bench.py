@@ -40,7 +40,7 @@ import numpy as np
 BASELINE_POINTS_PER_SEC = 1.0e6
 DIMS = (139, 104, 112)
 RES_INCREASE = 2
-SLAB_ROWS = 8
+SLAB_ROWS = 2
 N_TIMED = 3
 
 

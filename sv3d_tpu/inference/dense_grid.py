@@ -79,7 +79,7 @@ def evaluate_on_grid(
     grid: jnp.ndarray,
     resolution,
     res_increase: int = 1,
-    slab_rows: int = 8,
+    slab_rows: int = 4,
     mesh=None,
 ) -> np.ndarray:
     """Evaluate sigmoid-occupancy on the dense lattice over [-0.5, 0.5]^3.
@@ -104,7 +104,7 @@ def evaluate_on_grid_device(
     levels,
     resolution,
     res_increase: int = 1,
-    slab_rows: int = 8,
+    slab_rows: int = 4,
 ) -> jnp.ndarray:
     """Whole dense sweep as ONE jitted program (lax.map over row slabs),
     result stays on device: (r0_padded, r1, r2) sigmoid occupancy.  Used by
@@ -163,7 +163,7 @@ def implicit_to_mesh(
     threshold_p: float,
     output_path: str | Path,
     res_increase: int = 1,
-    slab_rows: int = 8,
+    slab_rows: int = 4,
     mesh=None,
 ):
     """Dense evaluation -> marching cubes on (1 - occupancy) at level

@@ -123,9 +123,13 @@ class IFNet(nn.Module):
             hidden = (cfg.hidden_dim * 2, cfg.hidden_dim, cfg.hidden_dim)
         else:
             raise ValueError(f"net_res must be 128 or 32, got {cfg.net_res}")
-        # first MLP layer held as a raw param so the lattice path can apply it
-        # block-wise per (level, displacement) without materializing the full
-        # (B, sumC*7, N) feature tensor
+        # First MLP layer held as a raw param.  Feature order is
+        # DISPLACEMENT-MAJOR: index = d * sum(C) + c (d = displacement copy,
+        # c = global channel across levels).  Both query paths then build the
+        # feature tensor from contiguous concats only — no interleaving
+        # reshapes, which on TPU force layout copies that dominate the matmul.
+        # (The reference's Conv1d weight order is channel-major; irrelevant
+        # here since training is from scratch.)
         self.fc0_kernel = self.param(
             "fc0_kernel", _point_conv_init, (hidden[0], self.feature_size)
         )
@@ -166,8 +170,10 @@ class IFNet(nn.Module):
             for flat, dims in levels
         ]  # each (B, C_l, 7N)
         f = jnp.concatenate(feats, axis=1)  # (B, sumC, 7N)
-        # (B, sumC, 7, N) -> (B, sumC*7, N); feature index = c*7 + displacement
-        f = f.reshape(b, f.shape[1], 7, n).reshape(b, f.shape[1] * 7, n)
+        # displacement-major feature order (see setup): (B, sumC, 7, N) ->
+        # (B, 7, sumC, N) -> (B, 7*sumC, N); index = d*sumC + c
+        sum_c = f.shape[1]
+        f = jnp.swapaxes(f.reshape(b, sum_c, 7, n), 1, 2).reshape(b, 7 * sum_c, n)
 
         h = jnp.einsum("hf,bfn->bhn", self.fc0_kernel, f) + self.fc0_bias[None, :, None]
         return self._mlp_tail(h)
@@ -177,7 +183,7 @@ class IFNet(nn.Module):
         levels: Pyramid,
         resolution,
         res_increase: int = 1,
-        slab_rows: int = 8,
+        slab_rows: int = 4,
         row_offset=0,
         compute_dtype=jnp.bfloat16,
     ) -> jnp.ndarray:
@@ -189,21 +195,22 @@ class IFNet(nn.Module):
         res_increase.  row_offset may be a traced scalar (one compilation
         serves every slab).
 
-        Bandwidth notes (this path is HBM-bound, not MXU-bound): resizes and
-        the first MLP layer run in compute_dtype (bf16 by default — MXU
-        accumulates in f32 regardless); per-displacement features are
-        concatenated so fc0 runs as 7 matmuls with K=sum(C) instead of 42
-        accumulating passes over the (256, N_slab) hidden tensor."""
+        Performance notes: resizes and fc0 run in compute_dtype (bf16 by
+        default — the MXU accumulates in f32 regardless).  fc0's feature order
+        is displacement-major (see setup), so the feature tensor is built from
+        contiguous concats only (levels within a displacement, then
+        displacements) and the whole first layer is ONE layout-clean K=2583
+        matmul; interleaved (c*7+d) orders force layout copies that measured
+        8x slower.  Keep slab_rows small (2-4) so the concatenated feature
+        tensor stays a few hundred MB."""
         cfg = self.config
         r = tuple(int(x) * res_increase for x in resolution)
         r0p = -(-r[0] // slab_rows) * slab_rows  # padded row count
         n_slab = slab_rows * r[1] * r[2]
 
-        hidden0 = self.fc0_kernel.shape[0]
-        sum_c = sum(cfg.feature_channels)
-        w1 = self.fc0_kernel.reshape(hidden0, sum_c, 7).astype(compute_dtype)
+        w1 = self.fc0_kernel.astype(compute_dtype)
 
-        # per-displacement feature stacks: feats[d] -> (B, sum_c, n_slab)
+        # feats[d][l]: (B, C_l, n_slab) resized features per displacement/level
         feats = [[] for _ in range(7)]
         for flat, dims in levels:
             b, c, _ = flat.shape
@@ -234,14 +241,9 @@ class IFNet(nn.Module):
             for d, vd in enumerate(vols7):
                 feats[d].append(vd.reshape(b, c, n_slab))
 
-        h = None
-        for d in range(7):
-            fd = jnp.concatenate(feats[d], axis=1)  # (B, sum_c, n_slab)
-            contrib = jnp.einsum(
-                "hc,bcn->bhn", w1[:, :, d], fd, preferred_element_type=jnp.float32
-            )
-            h = contrib if h is None else h + contrib
-
+        # displacement-major contiguous concat: (B, 7*sumC, n_slab)
+        f = jnp.concatenate([x for d in feats for x in d], axis=1)
+        h = jnp.einsum("hf,bfn->bhn", w1, f, preferred_element_type=jnp.float32)
         h = h + self.fc0_bias[None, :, None]
         logits = self._mlp_tail(h.astype(jnp.float32))  # (B, n_slab)
         return logits.reshape(-1, slab_rows, r[1], r[2])
