@@ -1,0 +1,115 @@
+"""Quality-parity check: overfit the scene pipeline on the reference fixture,
+extract the predicted mesh, and score IoU / Chamfer-L2 / normal consistency
+against the GT mesh (the reference's own eval protocol, util/evaluate.py).
+
+Mirrors the reference's viability experiment (BASELINE.md: GT depth +
+diff-voxelization + IF-Net) at full scale on the single overfit sample.
+
+Usage: python scripts/quality_overfit.py [--steps 3000] [--net_res 128]
+Writes results JSON to runs/<experiment>/quality.json and prints it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--net_res", type=int, default=128)
+    p.add_argument("--datasetdir", default="data")
+    p.add_argument("--num_points", type=int, default=2048)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--eval_points", type=int, default=50000)
+    p.add_argument("--out", default=None)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sv3d_tpu.config import Config
+    from sv3d_tpu.evaluation.metrics import eval_mesh
+    from sv3d_tpu.inference.dense_grid import implicit_to_mesh
+    from sv3d_tpu.io.mesh import load_obj
+    from sv3d_tpu.models.ifnet import IFNet
+    from sv3d_tpu.training.trainer_scene_net import SceneNetTrainer
+
+    cfg = Config(
+        datasetdir=args.datasetdir,
+        splitsdir="overfit",
+        skip_unet=True,
+        scale_factor=1,
+        num_points=args.num_points,
+        batch_size=1,
+        max_epoch=10_000,
+        seed=0,
+        sanity_steps=0,
+        net_res=args.net_res,
+        lr=args.lr,
+        experiment="quality_overfit",
+        val_check_interval=1e9,
+    )
+    out_dir = Path(args.out) if args.out else Path("runs/quality_overfit")
+    trainer = SceneNetTrainer(cfg, experiment_dir=out_dir)
+
+    t0 = time.time()
+    state = trainer.fit(max_steps=args.steps)
+    train_s = time.time() - t0
+    print(f"trained {args.steps} steps in {train_s:.1f}s "
+          f"({args.steps / train_s:.2f} steps/s)", flush=True)
+
+    # build the voxel occupancy from the GT depth exactly as in training
+    batch = trainer.train_dataset()[0]
+    depth_t = jnp.asarray(batch["depthmap_target"])[None]
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    pc = trainer.model.apply(variables, depth_t, method="project_depth")
+    vox = trainer.model.apply(variables, pc, method=lambda m, p: m.project(p))
+
+    ifnet = IFNet(cfg.ifnet())
+    ifnet_vars = {
+        "params": jax.device_get(state.params)["ifnet"],
+        "batch_stats": jax.device_get(state.batch_stats).get("ifnet", {}),
+    }
+    pred_path = out_dir / "predicted.obj"
+    t0 = time.time()
+    implicit_to_mesh(ifnet, ifnet_vars, vox, cfg.dims, 0.5, pred_path)
+    mesh_s = time.time() - t0
+    print(f"mesh extracted in {mesh_s:.1f}s -> {pred_path}", flush=True)
+
+    # normalize both meshes into unit space (reference convert_to_scaled_obj)
+    dims = np.asarray(cfg.dims, dtype=np.float64)
+    pred = load_obj(pred_path).apply_translation(-dims / 2).apply_scale(1.0 / dims)
+    gt = load_obj(Path(args.datasetdir) / "raw" / "overfit" / "00000" / "mesh.obj")
+    gt.apply_translation(-dims / 2).apply_scale(1.0 / dims)
+
+    metrics = eval_mesh(pred, gt, -0.5, 0.5, n_points=args.eval_points)
+    result = {
+        "steps": args.steps,
+        "train_seconds": round(train_s, 1),
+        "steps_per_sec": round(args.steps / train_s, 3),
+        "mesh_seconds": round(mesh_s, 2),
+        "iou": round(metrics["iou"], 4),
+        "chamfer_l2": round(metrics["chamfer_l2"], 6),
+        "normals": round(metrics["normals"], 4),
+        "reference_viability": {"iou": 0.48, "chamfer_l2": 0.0007, "normals": 0.82},
+    }
+    (out_dir / "quality.json").write_text(json.dumps(result, indent=2))
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
