@@ -123,19 +123,34 @@ class IFNet(nn.Module):
             hidden = (cfg.hidden_dim * 2, cfg.hidden_dim, cfg.hidden_dim)
         else:
             raise ValueError(f"net_res must be 128 or 32, got {cfg.net_res}")
-        # First MLP layer held as a raw param.  Feature order is
-        # DISPLACEMENT-MAJOR: index = d * sum(C) + c (d = displacement copy,
-        # c = global channel across levels).  Both query paths then build the
-        # feature tensor from contiguous concats only — no interleaving
-        # reshapes, which on TPU force layout copies that dominate the matmul.
-        # (The reference's Conv1d weight order is channel-major; irrelevant
-        # here since training is from scratch.)
-        self.fc0_kernel = self.param(
-            "fc0_kernel", _point_conv_init, (hidden[0], self.feature_size)
-        )
-        self.fc0_bias = self.param("fc0_bias", nn.initializers.zeros_init(), (hidden[0],))
-        self.fcs = [PointConv(h) for h in hidden[1:]]
-        self.fc_out = PointConv(1)
+        # The decoder MLP is held as raw params (not submodules) so both the
+        # XLA einsum path and the fused Pallas kernel can consume them.
+        # fc0's feature order is DISPLACEMENT-MAJOR: index = d * sum(C) + c
+        # (d = displacement copy, c = global channel across levels).  Both
+        # query paths then build the feature tensor from contiguous concats
+        # only — no interleaving reshapes, which on TPU force layout copies
+        # that dominate the matmul.  (The reference's Conv1d weight order is
+        # channel-major; irrelevant here since training is from scratch.)
+        sizes = (self.feature_size,) + tuple(hidden) + (1,)
+        names = ("fc0", "fc1", "fc2", "fc_out")
+        kernels, biases = [], []
+        for name, f_in, f_out in zip(names, sizes[:-1], sizes[1:]):
+            kernels.append(
+                self.param(f"{name}_kernel", _point_conv_init, (f_out, f_in))
+            )
+            biases.append(
+                self.param(f"{name}_bias", nn.initializers.zeros_init(), (f_out,))
+            )
+        self.mlp_kernels = kernels
+        self.mlp_biases = biases
+
+    @property
+    def fc0_kernel(self):
+        return self.mlp_kernels[0]
+
+    @property
+    def fc0_bias(self):
+        return self.mlp_biases[0]
 
     def encode(self, grid: jnp.ndarray, train: bool = True) -> Pyramid:
         """Run the conv pyramid once and flatten each level into the
@@ -153,9 +168,11 @@ class IFNet(nn.Module):
     def _mlp_tail(self, h: jnp.ndarray) -> jnp.ndarray:
         """Hidden layers after fc0: (B, H, N) -> (B, N) logits."""
         h = nn.relu(h)
-        for fc in self.fcs:
-            h = nn.relu(fc(h))
-        return self.fc_out(h)[:, 0, :]
+        for kernel, bias in zip(self.mlp_kernels[1:], self.mlp_biases[1:]):
+            h = jnp.einsum("hf,bfn->bhn", kernel, h) + bias[None, :, None]
+            if kernel.shape[0] > 1:
+                h = nn.relu(h)
+        return h[:, 0, :]
 
     def query(self, levels: Pyramid, points: jnp.ndarray) -> jnp.ndarray:
         """Evaluate occupancy logits at ARBITRARY query points (gather path)."""
@@ -186,6 +203,7 @@ class IFNet(nn.Module):
         slab_rows: int = 4,
         row_offset=0,
         compute_dtype=jnp.bfloat16,
+        use_pallas_mlp: bool = True,
     ) -> jnp.ndarray:
         """Evaluate occupancy logits on a slab of the DENSE LATTICE over
         [-0.5, 0.5]^3 (rows [row_offset, row_offset+slab_rows) of lattice
@@ -243,9 +261,22 @@ class IFNet(nn.Module):
 
         # displacement-major contiguous concat: (B, 7*sumC, n_slab)
         f = jnp.concatenate([x for d in feats for x in d], axis=1)
-        h = jnp.einsum("hf,bfn->bhn", w1, f, preferred_element_type=jnp.float32)
-        h = h + self.fc0_bias[None, :, None]
-        logits = self._mlp_tail(h.astype(jnp.float32))  # (B, n_slab)
+
+        if use_pallas_mlp and f.shape[0] == 1:
+            from sv3d_tpu.ops.pallas.mlp import default_interpret, fused_point_mlp
+
+            tile = 1024
+            n_pad = (-n_slab) % tile
+            ff = jnp.pad(f[0], ((0, 0), (0, n_pad))) if n_pad else f[0]
+            k, bia = self.mlp_kernels, self.mlp_biases
+            logits = fused_point_mlp(
+                ff, k[0], bia[0], k[1], bia[1], k[2], bia[2], k[3], bia[3],
+                tile=tile, interpret=default_interpret(),
+            )[None, :n_slab]
+        else:
+            h = jnp.einsum("hf,bfn->bhn", w1, f, preferred_element_type=jnp.float32)
+            h = h + self.fc0_bias[None, :, None]
+            logits = self._mlp_tail(h.astype(jnp.float32))  # (B, n_slab)
         return logits.reshape(-1, slab_rows, r[1], r[2])
 
     def __call__(self, grid: jnp.ndarray, points: jnp.ndarray, train: bool = True):

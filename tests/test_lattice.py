@@ -61,6 +61,7 @@ def _lattice_matches_gather(net_res, res_increase):
             variables, levels, dims, res_increase, slab,
             jnp.asarray(i * slab, jnp.int32),
             method=IFNet.query_lattice, compute_dtype=jnp.float32,
+            use_pallas_mlp=False,
         )
         out[i * slab : (i + 1) * slab] = np.asarray(sl[0])
     lattice_grid = out[: res[0]]
