@@ -34,18 +34,6 @@ def _encode_fn(model: IFNet):
 
 
 @lru_cache(maxsize=64)
-def _lattice_slab_fn(model: IFNet, resolution, res_increase, slab_rows):
-    return jax.jit(
-        lambda v, lv, off: jax.nn.sigmoid(
-            model.apply(
-                v, lv, resolution, res_increase, slab_rows, off,
-                method=IFNet.query_lattice,
-            )
-        )
-    )
-
-
-@lru_cache(maxsize=64)
 def _lattice_sweep_fn(model: IFNet, resolution, res_increase, slab_rows, n_slabs):
     res = tuple(int(x) * res_increase for x in resolution)
 

@@ -1,0 +1,96 @@
+"""Dataset + loader tests on the prepared fixture tree."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sv3d_tpu.data import DataLoader, DepthDataset, ImplicitDataset, SceneNetDataset
+from sv3d_tpu.data.loader import collate
+from sv3d_tpu.data.splits import read_split, write_split
+
+FIXTURE_DATA = Path(__file__).parent.parent / ".fixture_data"
+
+pytestmark = pytest.mark.skipif(
+    not FIXTURE_DATA.exists(),
+    reason="run scripts/prepare_overfit.py --out .fixture_data first",
+)
+
+
+def test_scene_net_dataset_sample():
+    ds = SceneNetDataset("train", FIXTURE_DATA, num_points=64, splitsdir="overfit")
+    # overfit train split is multiplied x50 (reference scene_net_data.py:31)
+    assert len(ds) == 50
+    s = ds[0]
+    assert s["rgb"].shape == (240, 320, 3)
+    assert -1.0 <= s["rgb"].min() and s["rgb"].max() <= 1.0
+    assert s["points"].shape == (128, 3)  # 64 per sigma x 2 sigmas
+    assert s["occupancies"].shape == (128,)
+    assert set(np.unique(s["occupancies"])) <= {0.0, 1.0}
+    assert s["depthmap_target"].shape == (240, 320)
+    assert s["depthmap_target"].min() > 0
+    assert s["mesh"].endswith("mesh.obj")
+
+
+def test_scene_net_dataset_resize():
+    ds = SceneNetDataset(
+        "train", FIXTURE_DATA, num_points=8, splitsdir="overfit",
+        resize_input=True, resize_w=256,
+    )
+    assert ds[0]["rgb"].shape == (256, 256, 3)
+
+
+def test_depth_dataset_flips():
+    ds = DepthDataset("val", FIXTURE_DATA, "overfit")
+    s = ds[0]
+    assert s["input"].shape == (240, 320, 3)
+    assert s["target"].shape == (240, 320)
+    # rgb is L-R flipped and depth column-flipped (reference
+    # scenes_dataset.py:58-67): flipped versions must differ from unflipped
+    ds2 = SceneNetDataset("val", FIXTURE_DATA, num_points=8, splitsdir="overfit")
+    s2 = ds2[0]
+    assert not np.allclose(s["input"], s2["rgb"])
+    np.testing.assert_allclose(s["input"], s2["rgb"][:, ::-1], atol=1e-6)
+    np.testing.assert_allclose(s["target"], s2["depthmap_target"][:, ::-1], atol=1e-6)
+
+
+def test_implicit_dataset():
+    ds = ImplicitDataset("train", FIXTURE_DATA, num_points=32, splitsdir="overfit")
+    s = ds[0]
+    assert s["input"].shape == (139, 104, 112, 1)
+    assert s["input"].sum() == 5466  # golden voxel count
+    assert s["points"].shape == (64, 3)
+    assert s["occupancies"].shape == (64,)
+
+
+def test_dataloader_batching():
+    ds = SceneNetDataset("train", FIXTURE_DATA, num_points=16, splitsdir="overfit")
+    loader = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=0)
+    assert len(loader) == 12  # 50 // 4
+    batches = list(loader)
+    assert len(batches) == 12
+    b = batches[0]
+    assert b["rgb"].shape == (4, 240, 320, 3)
+    assert b["points"].shape == (4, 32, 3)
+    assert isinstance(b["mesh"], list) and len(b["mesh"]) == 4
+
+
+def test_dataloader_workers_and_prefetch():
+    ds = ImplicitDataset("train", FIXTURE_DATA, num_points=8, splitsdir="overfit")
+    loader = DataLoader(ds, batch_size=8, num_workers=2, prefetch=2)
+    n = sum(1 for _ in loader)
+    assert n == len(loader)
+
+
+def test_collate_mixed_types():
+    out = collate([
+        {"a": np.zeros(3), "n": "x"},
+        {"a": np.ones(3), "n": "y"},
+    ])
+    assert out["a"].shape == (2, 3)
+    assert out["n"] == ["x", "y"]
+
+
+def test_split_roundtrip(tmp_path):
+    write_split(tmp_path, "s", "train", ["00000", "00001"])
+    assert read_split(tmp_path, "s", "train") == ["00000", "00001"]
