@@ -58,32 +58,24 @@ class _ConvBlock(nn.Module):
     """Conv3d(k3 p1) + ReLU pair(s) + BatchNorm, one pyramid stage."""
 
     features: Sequence[int]
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         for f in self.features:
-            x = nn.relu(nn.Conv(f, (3, 3, 3), padding=((1, 1),) * 3)(x))
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+            x = nn.relu(
+                nn.Conv(f, (3, 3, 3), padding=((1, 1),) * 3, dtype=self.dtype)(x)
+            )
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
         return x
 
 
 _point_conv_init = nn.initializers.variance_scaling(
     1.0, "fan_in", "truncated_normal", in_axis=1, out_axis=0
 )
-
-
-class PointConv(nn.Module):
-    """1x1 conv over channel-major point features: (B, F, N) -> (B, H, N).
-    The TPU-native equivalent of the reference's nn.Conv1d(F, H, 1)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, x):
-        kernel = self.param("kernel", _point_conv_init, (self.features, x.shape[1]))
-        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
-        y = jnp.einsum("hf,bfn->bhn", kernel, x)
-        return y + bias[None, :, None]
 
 
 def _maxpool2(x):
@@ -100,25 +92,27 @@ class IFNet(nn.Module):
     """
 
     config: IFNetConfig = IFNetConfig()
+    dtype: object = None  # e.g. jnp.bfloat16 for mixed precision (params stay f32)
 
     def setup(self):
         cfg = self.config
+        dt = self.dtype
         if cfg.net_res == 128:
             # reference model/ifnet.py:126-142
             self.stages = [
-                _ConvBlock([16]),
-                _ConvBlock([32, 32]),
-                _ConvBlock([64, 64]),
-                _ConvBlock([128, 128]),
-                _ConvBlock([128, 128]),
+                _ConvBlock([16], dt),
+                _ConvBlock([32, 32], dt),
+                _ConvBlock([64, 64], dt),
+                _ConvBlock([128, 128], dt),
+                _ConvBlock([128, 128], dt),
             ]
             hidden = (cfg.hidden_dim, cfg.hidden_dim, cfg.hidden_dim)
         elif cfg.net_res == 32:
             # reference model/ifnet.py:69-80
             self.stages = [
-                _ConvBlock([32, 64]),
-                _ConvBlock([128, 128]),
-                _ConvBlock([128, 128]),
+                _ConvBlock([32, 64], dt),
+                _ConvBlock([128, 128], dt),
+                _ConvBlock([128, 128], dt),
             ]
             hidden = (cfg.hidden_dim * 2, cfg.hidden_dim, cfg.hidden_dim)
         else:

@@ -38,18 +38,23 @@ class SceneNet(nn.Module):
 
     def setup(self):
         cfg = self.config
+        # --precision 16 -> bf16 compute (TPU-native mixed precision; params
+        # and geometry/voxelization stay float32)
+        dt = None if cfg.precision == 32 else cfg.dtype
         if not cfg.skip_unet:
             self.unet = (
-                UNet(channels_out=1) if cfg.resize_input else UNetMini(channels_out=1)
+                UNet(channels_out=1, dtype=dt)
+                if cfg.resize_input
+                else UNetMini(channels_out=1, dtype=dt)
             )
         self.project = Projection(cfg.projection())
-        self.ifnet = IFNet(cfg.ifnet())
+        self.ifnet = IFNet(cfg.ifnet(), dtype=dt)
 
     def predict_depth(self, rgb: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         """(B, H, W, 3) normalized RGB -> (B, 240, 320) renormalized depth
         (reference trainer_scene_net.py:70-80)."""
         cfg = self.config
-        logits = self.unet(rgb, train=train)
+        logits = self.unet(rgb, train=train).astype(jnp.float32)
         if cfg.resize_input:
             logits = resize_crop_depth(logits)
         return renormalize_depth(logits[..., 0], cfg.min_z, cfg.max_z)

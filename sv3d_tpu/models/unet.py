@@ -31,27 +31,37 @@ class _ConvDown(nn.Module):
     """k4 s2 p1 halving conv (reference get_conv_layer + '4,2,1' usage)."""
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.features, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
+        return nn.Conv(
+            self.features, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+        )(x)
 
 
 class _ConvSame(nn.Module):
     """k3 s1 p1 conv."""
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)))(x)
+        return nn.Conv(
+            self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype
+        )(x)
 
 
 class _BN(nn.Module):
+    dtype: object = None
+
     @nn.compact
     def __call__(self, x, train: bool):
         return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
         )(x)
 
 
@@ -60,32 +70,36 @@ class UNet(nn.Module):
 
     num_filters: int = 32
     channels_out: int = 1
+    dtype: object = None  # e.g. jnp.bfloat16 for mixed precision (params stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         nf = self.num_filters
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
         relu = nn.relu
-        bn = lambda v: _BN()(v, train)
+        bn = lambda v: _BN(dtype=dt)(v, train)
 
-        e1 = _ConvDown(nf)(x)                               # 128
-        e2 = bn(_ConvDown(nf * 2)(lrelu(e1)))               # 64
-        e3 = bn(_ConvDown(nf * 4)(lrelu(e2)))               # 32
-        e4 = bn(_ConvDown(nf * 8)(lrelu(e3)))               # 16
-        e5 = bn(_ConvDown(nf * 8)(lrelu(e4)))               # 8
-        e6 = bn(_ConvDown(nf * 8)(lrelu(e5)))               # 4
-        e7 = bn(_ConvDown(nf * 8)(lrelu(e6)))               # 2
-        e8 = _ConvDown(nf * 8)(lrelu(e7))                   # 1 (no BN)
+        e1 = _ConvDown(nf, dt)(x)                               # 128
+        e2 = bn(_ConvDown(nf * 2, dt)(lrelu(e1)))               # 64
+        e3 = bn(_ConvDown(nf * 4, dt)(lrelu(e2)))               # 32
+        e4 = bn(_ConvDown(nf * 8, dt)(lrelu(e3)))               # 16
+        e5 = bn(_ConvDown(nf * 8, dt)(lrelu(e4)))               # 8
+        e6 = bn(_ConvDown(nf * 8, dt)(lrelu(e5)))               # 4
+        e7 = bn(_ConvDown(nf * 8, dt)(lrelu(e6)))               # 2
+        e8 = _ConvDown(nf * 8, dt)(lrelu(e7))                   # 1 (no BN)
 
         cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
-        d1 = cat(bn(_ConvSame(nf * 8)(_upsample2x(relu(e8)))), e7)
-        d2 = cat(bn(_ConvSame(nf * 8)(_upsample2x(relu(d1)))), e6)
-        d3 = cat(bn(_ConvSame(nf * 8)(_upsample2x(relu(d2)))), e5)
-        d4 = cat(bn(_ConvSame(nf * 8)(_upsample2x(relu(d3)))), e4)
-        d5 = cat(bn(_ConvSame(nf * 4)(_upsample2x(relu(d4)))), e3)
-        d6 = cat(bn(_ConvSame(nf * 2)(_upsample2x(relu(d5)))), e2)
-        d7 = cat(bn(_ConvSame(nf)(_upsample2x(relu(d6)))), e1)
-        d8 = _ConvSame(self.channels_out)(_upsample2x(relu(d7)))
+        d1 = cat(bn(_ConvSame(nf * 8, dt)(_upsample2x(relu(e8)))), e7)
+        d2 = cat(bn(_ConvSame(nf * 8, dt)(_upsample2x(relu(d1)))), e6)
+        d3 = cat(bn(_ConvSame(nf * 8, dt)(_upsample2x(relu(d2)))), e5)
+        d4 = cat(bn(_ConvSame(nf * 8, dt)(_upsample2x(relu(d3)))), e4)
+        d5 = cat(bn(_ConvSame(nf * 4, dt)(_upsample2x(relu(d4)))), e3)
+        d6 = cat(bn(_ConvSame(nf * 2, dt)(_upsample2x(relu(d5)))), e2)
+        d7 = cat(bn(_ConvSame(nf, dt)(_upsample2x(relu(d6)))), e1)
+        d8 = _ConvSame(self.channels_out, dt)(_upsample2x(relu(d7)))
         return d8
 
 
@@ -94,24 +108,28 @@ class UNetMini(nn.Module):
 
     num_filters: int = 32
     channels_out: int = 1
+    dtype: object = None  # e.g. jnp.bfloat16 for mixed precision (params stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         nf = self.num_filters
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
         relu = nn.relu
-        bn = lambda v: _BN()(v, train)
+        bn = lambda v: _BN(dtype=dt)(v, train)
 
-        e1 = _ConvDown(nf)(x)                               # 120x160
-        e2 = bn(_ConvDown(nf * 2)(lrelu(e1)))               # 60x80
-        e3 = bn(_ConvDown(nf * 4)(lrelu(e2)))               # 30x40
-        e4 = _ConvDown(nf * 8)(lrelu(e3))                   # 15x20 (no BN)
+        e1 = _ConvDown(nf, dt)(x)                               # 120x160
+        e2 = bn(_ConvDown(nf * 2, dt)(lrelu(e1)))               # 60x80
+        e3 = bn(_ConvDown(nf * 4, dt)(lrelu(e2)))               # 30x40
+        e4 = _ConvDown(nf * 8, dt)(lrelu(e3))                   # 15x20 (no BN)
 
         cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
-        d5 = cat(bn(_ConvSame(nf * 4)(_upsample2x(relu(e4)))), e3)
-        d6 = cat(bn(_ConvSame(nf * 2)(_upsample2x(relu(d5)))), e2)
-        d7 = cat(bn(_ConvSame(nf)(_upsample2x(relu(d6)))), e1)
-        d8 = _ConvSame(self.channels_out)(_upsample2x(relu(d7)))
+        d5 = cat(bn(_ConvSame(nf * 4, dt)(_upsample2x(relu(e4)))), e3)
+        d6 = cat(bn(_ConvSame(nf * 2, dt)(_upsample2x(relu(d5)))), e2)
+        d7 = cat(bn(_ConvSame(nf, dt)(_upsample2x(relu(d6)))), e1)
+        d8 = _ConvSame(self.channels_out, dt)(_upsample2x(relu(d7)))
         return d8
 
 

@@ -146,7 +146,6 @@ def displacement_axes(p_axes: tuple, displacement: float):
     +d2 — displacement d is in the [-1, 1] sampling space."""
     p0, p1, p2 = p_axes
     d = displacement
-    zero = jnp.zeros_like(p0)
 
     def stack(p, deltas):
         return jnp.concatenate([p + dd for dd in deltas], axis=1)
@@ -154,5 +153,4 @@ def displacement_axes(p_axes: tuple, displacement: float):
     p0_7 = stack(p0, [0.0, -d, d, 0.0, 0.0, 0.0, 0.0])
     p1_7 = stack(p1, [0.0, 0.0, 0.0, -d, d, 0.0, 0.0])
     p2_7 = stack(p2, [0.0, 0.0, 0.0, 0.0, 0.0, -d, d])
-    del zero
     return p0_7, p1_7, p2_7

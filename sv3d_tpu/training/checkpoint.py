@@ -107,11 +107,13 @@ def load_pretrained_unet(state, path: str | Path):
     checkpoint (any trainer's), leaving project/ifnet untouched
     (reference trainer/trainer_scene_net.py:204-212)."""
     tree = restore_tree(path)
+    # a scene-net checkpoint nests the unet under 'unet'; a depth-regressor
+    # checkpoint (training/trainer_unet.py) IS the unet at top level
+    src_params = tree["params"].get("unet", tree["params"])
+    src_stats = (tree.get("batch_stats") or {}).get("unet", tree.get("batch_stats") or {})
     params = dict(state.params)
     stats = dict(state.batch_stats)
-    if "unet" not in tree["params"]:
-        raise KeyError(f"checkpoint {path} has no 'unet' params")
-    params["unet"] = tree["params"]["unet"]
-    if tree.get("batch_stats") and "unet" in tree["batch_stats"]:
-        stats["unet"] = tree["batch_stats"]["unet"]
+    params["unet"] = _restore_like(state.params["unet"], src_params)
+    if src_stats:
+        stats["unet"] = _restore_like(state.batch_stats["unet"], src_stats)
     return state.replace(params=params, batch_stats=stats)

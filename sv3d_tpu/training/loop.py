@@ -181,6 +181,13 @@ class BaseTrainer:
                 if max_steps is not None and self.global_step >= max_steps:
                     self.ckpt.save(state, metric=last_val.get(self.monitor))
                     return state
+            # epoch-cadence validation (val_check_interval > 1 means "every N
+            # epochs", reference trainer wiring)
+            if val_every_steps is None and (epoch + 1) % max(val_every_epochs, 1) == 0:
+                last_val = self.validate(
+                    state, val_loader_fn(), max_batches=max_val_batches, do_vis=True
+                )
+                self.logger.log(last_val, self.global_step)
             if (epoch + 1) % max(cfg.save_epoch, 1) == 0:
                 self.ckpt.save(state, metric=last_val.get(self.monitor))
         self.ckpt.save(state, metric=last_val.get(self.monitor))

@@ -28,6 +28,7 @@ def depth_forward(model, config, variables, rgb, train: bool):
         variables, rgb, train=train, mutable=["batch_stats"] if train else False
     )
     logits, mutated = out if train else (out, None)
+    logits = logits.astype(jnp.float32)
     if config.resize_input:
         logits = resize_crop_depth(logits)
     depth = renormalize_depth(logits[..., 0], config.min_z, config.max_z)
@@ -69,8 +70,11 @@ class DepthRegressorTrainer(BaseTrainer):
 
     def __init__(self, config: Config, **kw):
         super().__init__(config, **kw)
+        dt = None if config.precision == 32 else config.dtype
         self.model = (
-            UNet(channels_out=1) if config.resize_input else UNetMini(channels_out=1)
+            UNet(channels_out=1, dtype=dt)
+            if config.resize_input
+            else UNetMini(channels_out=1, dtype=dt)
         )
         self._train_step = make_train_step(self.model, config)
         self._eval_step = make_eval_step(self.model, config)
