@@ -30,6 +30,14 @@ def main():
     p.add_argument("--eval_points", type=int, default=50000)
     p.add_argument("--out", default=None)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--use_unet", action="store_true",
+        help="full end-to-end protocol: train the UNet jointly and reconstruct "
+        "from PREDICTED depth (reference's end-to-end row; default is the "
+        "GT-depth viability protocol)",
+    )
+    p.add_argument("--pretrain_unet", default=None)
+    p.add_argument("--precision", type=int, default=32)
     args = p.parse_args()
 
     if args.cpu:
@@ -51,7 +59,9 @@ def main():
     cfg = Config(
         datasetdir=args.datasetdir,
         splitsdir="overfit",
-        skip_unet=True,
+        skip_unet=not args.use_unet,
+        pretrain_unet=args.pretrain_unet,
+        precision=args.precision,
         scale_factor=1,
         num_points=args.num_points,
         batch_size=1,
@@ -63,7 +73,8 @@ def main():
         experiment="quality_overfit",
         val_check_interval=1e9,
     )
-    out_dir = Path(args.out) if args.out else Path("runs/quality_overfit")
+    default_dir = "runs/quality_e2e" if args.use_unet else "runs/quality_overfit"
+    out_dir = Path(args.out) if args.out else Path(default_dir)
     trainer = SceneNetTrainer(cfg, experiment_dir=out_dir)
 
     t0 = time.time()
@@ -72,11 +83,18 @@ def main():
     print(f"trained {args.steps} steps in {train_s:.1f}s "
           f"({args.steps / train_s:.2f} steps/s)", flush=True)
 
-    # build the voxel occupancy from the GT depth exactly as in training
+    # build the voxel occupancy exactly as in training: from PREDICTED depth
+    # (end-to-end protocol) or GT depth (viability protocol)
     batch = trainer.train_dataset()[0]
-    depth_t = jnp.asarray(batch["depthmap_target"])[None]
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    pc = trainer.model.apply(variables, depth_t, method="project_depth")
+    if args.use_unet:
+        rgb = jnp.asarray(batch["rgb"])[None]
+        depth_in = trainer.model.apply(
+            variables, rgb, train=False, method="predict_depth"
+        )
+    else:
+        depth_in = jnp.asarray(batch["depthmap_target"])[None]
+    pc = trainer.model.apply(variables, depth_in, method="project_depth")
     vox = trainer.model.apply(variables, pc, method=lambda m, p: m.project(p))
 
     ifnet = IFNet(cfg.ifnet())
@@ -102,10 +120,15 @@ def main():
         "train_seconds": round(train_s, 1),
         "steps_per_sec": round(args.steps / train_s, 3),
         "mesh_seconds": round(mesh_s, 2),
+        "protocol": "end_to_end" if args.use_unet else "viability_gt_depth",
         "iou": round(metrics["iou"], 4),
         "chamfer_l2": round(metrics["chamfer_l2"], 6),
         "normals": round(metrics["normals"], 4),
-        "reference_viability": {"iou": 0.48, "chamfer_l2": 0.0007, "normals": 0.82},
+        "reference": (
+            {"iou": 0.40, "chamfer_l2": 0.0094, "normals": 0.77}
+            if args.use_unet
+            else {"iou": 0.48, "chamfer_l2": 0.0007, "normals": 0.82}
+        ),
     }
     (out_dir / "quality.json").write_text(json.dumps(result, indent=2))
     print(json.dumps(result), flush=True)
