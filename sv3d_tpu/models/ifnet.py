@@ -197,7 +197,7 @@ class IFNet(nn.Module):
         slab_rows: int = 4,
         row_offset=0,
         compute_dtype=jnp.bfloat16,
-        use_pallas_mlp: bool = True,
+        use_pallas_mlp: bool | None = None,
     ) -> jnp.ndarray:
         """Evaluate occupancy logits on a slab of the DENSE LATTICE over
         [-0.5, 0.5]^3 (rows [row_offset, row_offset+slab_rows) of lattice
@@ -256,6 +256,10 @@ class IFNet(nn.Module):
         # displacement-major contiguous concat: (B, 7*sumC, n_slab)
         f = jnp.concatenate([x for d in feats for x in d], axis=1)
 
+        if use_pallas_mlp is None:
+            # default: real kernel on TPU only; the interpreter emulation off
+            # TPU is far slower than the XLA einsum path
+            use_pallas_mlp = jax.default_backend() == "tpu"
         if use_pallas_mlp and f.shape[0] == 1:
             from sv3d_tpu.ops.pallas.mlp import default_interpret, fused_point_mlp
 

@@ -1,0 +1,89 @@
+"""Inference module API tests: dense sweeps, arbitrary points, meshing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sv3d_tpu.config import IFNetConfig
+from sv3d_tpu.geometry.transforms import make_3d_grid
+from sv3d_tpu.inference.dense_grid import (
+    evaluate_on_grid,
+    evaluate_on_grid_device,
+    evaluate_points,
+    implicit_to_mesh,
+)
+from sv3d_tpu.models.ifnet import IFNet
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = IFNet(IFNetConfig.for_net_res(32))
+    key = jax.random.PRNGKey(0)
+    dims = (10, 9, 8)
+    grid = (jax.random.uniform(key, (1, *dims, 1)) > 0.9).astype(jnp.float32)
+    variables = model.init(key, grid, jnp.zeros((1, 8, 3)), train=False)
+    return model, variables, grid, dims
+
+
+def test_evaluate_on_grid_shape_and_range(small_model):
+    model, variables, grid, dims = small_model
+    out = evaluate_on_grid(model, variables, grid, dims, res_increase=1, slab_rows=4)
+    assert out.shape == dims
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_evaluate_on_grid_device_matches_host(small_model):
+    model, variables, grid, dims = small_model
+    host = evaluate_on_grid(model, variables, grid, dims, slab_rows=4)
+    levels = model.apply(variables, grid, train=False, method=IFNet.encode)
+    dev = np.asarray(
+        evaluate_on_grid_device(model, variables, levels, dims, slab_rows=4)
+    )[: dims[0]]
+    np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-6)
+
+
+def test_evaluate_points_matches_grid_on_lattice(small_model):
+    """Arbitrary-point (gather) evaluation at the lattice points must agree
+    with the lattice sweep (bf16 resize tolerance)."""
+    model, variables, grid, dims = small_model
+    lattice = evaluate_on_grid(model, variables, grid, dims, slab_rows=4)
+    pts = np.asarray(make_3d_grid((-0.5,) * 3, (0.5,) * 3, dims))
+    vals = evaluate_points(model, variables, grid, pts, tile_points=256)
+    np.testing.assert_allclose(vals.reshape(dims), lattice, rtol=5e-2, atol=1e-2)
+
+
+def test_evaluate_points_sharded(small_model):
+    import os
+
+    if os.environ.get("SV3D_SLOW_TESTS", "0") != "1":
+        # SPMD-partitioning this unrolled gather graph compiles for >40 min on
+        # the 1-core host; the equivalent sharded-query parity is covered by
+        # tests/test_parallel.py::test_point_sharded_ifnet_query_matches_replicated
+        pytest.skip("slow SPMD compile; set SV3D_SLOW_TESTS=1 to run")
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sv3d_tpu.parallel.mesh import make_mesh
+
+    model, variables, grid, dims = small_model
+    mesh = make_mesh(dp=1, sp=8)
+    pts = np.asarray(make_3d_grid((-0.5,) * 3, (0.5,) * 3, dims))
+    plain = evaluate_points(model, variables, grid, pts, tile_points=256)
+    sharded = evaluate_points(model, variables, grid, pts, tile_points=256, mesh=mesh)
+    np.testing.assert_allclose(sharded, plain, rtol=1e-4, atol=1e-5)
+
+
+def test_implicit_to_mesh_produces_obj(small_model, tmp_path):
+    model, variables, grid, dims = small_model
+    out = tmp_path / "m.obj"
+    verts, tris = implicit_to_mesh(model, variables, grid, dims, 0.5, out)
+    assert out.exists()
+    # untrained net may or may not cross the threshold; geometry must be valid
+    if len(verts):
+        assert tris.min() >= 0 and tris.max() < len(verts)
+
+
+def test_res_increase_scales_output(small_model):
+    model, variables, grid, dims = small_model
+    out = evaluate_on_grid(model, variables, grid, dims, res_increase=2, slab_rows=4)
+    assert out.shape == tuple(2 * d for d in dims)
