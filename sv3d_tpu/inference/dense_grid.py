@@ -55,6 +55,40 @@ def _lattice_sweep_fn(model: IFNet, resolution, res_increase, slab_rows, n_slabs
 
 
 @lru_cache(maxsize=64)
+def _lattice_sweep_sharded_fn(
+    model: IFNet, resolution, res_increase, slab_rows, slabs_per_shard, mesh
+):
+    """Sp-sharded dense sweep: lattice rows (axis 0) are partitioned over the
+    mesh's "sp" axis, the feature pyramid and params are replicated, and each
+    shard runs its own lax.map over its contiguous block of row slabs.  The
+    TPU-native replacement for the reference's single-GPU chunked loop
+    (reference model/ifnet.py:215-229); all communication is the implicit
+    replication broadcast — shards write disjoint output rows."""
+    res = tuple(int(x) * res_increase for x in resolution)
+    from jax.sharding import PartitionSpec as P
+
+    def shard_body(v, lv):
+        base = jax.lax.axis_index("sp") * (slabs_per_shard * slab_rows)
+
+        def body(off):
+            return jax.nn.sigmoid(
+                model.apply(
+                    v, lv, resolution, res_increase, slab_rows, base + off,
+                    method=IFNet.query_lattice,
+                )
+            )[0]
+
+        offs = jnp.arange(slabs_per_shard, dtype=jnp.int32) * slab_rows
+        slabs = jax.lax.map(body, offs)
+        return slabs.reshape(slabs_per_shard * slab_rows, res[1], res[2])
+
+    fn = jax.shard_map(
+        shard_body, mesh=mesh, in_specs=(P(), P()), out_specs=P("sp")
+    )
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=64)
 def _points_query_fn(model: IFNet):
     return jax.jit(
         lambda v, lv, p: jax.nn.sigmoid(model.apply(v, lv, p, method=IFNet.query))
@@ -75,14 +109,19 @@ def evaluate_on_grid(
     grid: (1, D0, D1, D2, 1) input occupancy volume.
     Returns (r0, r1, r2) float32 numpy volume with r_i = resolution[i] *
     res_increase (reference evaluate_network_on_grid, model/ifnet.py:215-229).
+
+    With a mesh, lattice rows are sharded over its "sp" axis (pyramid
+    replicated) — the point-sharded inference path.
     """
     resolution = tuple(int(x) for x in resolution)
     res = tuple(x * res_increase for x in resolution)
 
     levels = _encode_fn(model)(variables, grid)
-    n_slabs = -(-res[0] // slab_rows)
-    sweep = _lattice_sweep_fn(model, resolution, res_increase, slab_rows, n_slabs)
-    out = np.asarray(sweep(variables, levels))
+    out = np.asarray(
+        evaluate_on_grid_device(
+            model, variables, levels, resolution, res_increase, slab_rows, mesh
+        )
+    )
     return out[: res[0]]
 
 
@@ -93,14 +132,26 @@ def evaluate_on_grid_device(
     resolution,
     res_increase: int = 1,
     slab_rows: int = 4,
+    mesh=None,
 ) -> jnp.ndarray:
     """Whole dense sweep as ONE jitted program (lax.map over row slabs),
     result stays on device: (r0_padded, r1, r2) sigmoid occupancy.  Used by
-    benchmarking and by callers that post-process on device."""
+    benchmarking and by callers that post-process on device.
+
+    With a mesh, the row axis is sharded over "sp" (see
+    _lattice_sweep_sharded_fn); rows beyond resolution[0]*res_increase are
+    padding and must be trimmed by the caller."""
     resolution = tuple(int(x) for x in resolution)
     res = tuple(x * res_increase for x in resolution)
     n_slabs = -(-res[0] // slab_rows)
-    sweep = _lattice_sweep_fn(model, resolution, res_increase, slab_rows, n_slabs)
+    if mesh is not None:
+        sp = mesh.shape["sp"]
+        slabs_per_shard = -(-n_slabs // sp)
+        sweep = _lattice_sweep_sharded_fn(
+            model, resolution, res_increase, slab_rows, slabs_per_shard, mesh
+        )
+    else:
+        sweep = _lattice_sweep_fn(model, resolution, res_increase, slab_rows, n_slabs)
     return sweep(variables, levels)
 
 

@@ -50,14 +50,24 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """device_put every array in a batch dict with the batch dim over dp;
-    non-arrays (names, mesh paths) pass through on host."""
+# batch keys whose axis 1 is the query-point dimension (B, N, ...) — these
+# shard over sp in addition to dp (see module docstring)
+POINT_KEYS = ("points", "occupancies")
+
+
+def shard_batch(batch: dict, mesh: Mesh, point_keys=POINT_KEYS) -> dict:
+    """device_put every array in a batch dict with the batch dim over dp and
+    the query-point dim of point arrays additionally over sp; non-arrays
+    (names, mesh paths) pass through on host.
+
+    Requires batch_size % dp == 0 and, for point arrays, points-per-sample %
+    sp == 0 (2*num_points is even, so any power-of-two sp works)."""
     sh = batch_sharding(mesh)
+    psh = point_sharding(mesh)
     out = {}
     for k, v in batch.items():
         if isinstance(v, (np.ndarray, jax.Array)):
-            out[k] = jax.device_put(v, sh)
+            out[k] = jax.device_put(v, psh if k in point_keys and v.ndim >= 2 else sh)
         else:
             out[k] = v
     return out

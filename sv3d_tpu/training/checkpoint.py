@@ -34,6 +34,30 @@ class CheckpointManager:
         self.keep_last = keep_last
         self._ckpt = ocp.PyTreeCheckpointer()
         self._scores: list = []  # (metric, path)
+        self._load_manifest()
+
+    def _load_manifest(self):
+        """Restore top-k state from a previous run's manifest so best-k
+        tracking survives a resume (the reference's PL ModelCheckpoint keeps
+        its best_k_models across restarts).  Stale step_* dirs that dropped
+        out of the manifest (or predate it) are pruned."""
+        manifest = self.directory / "manifest.json"
+        if not manifest.exists():
+            return
+        try:
+            data = json.loads(manifest.read_text())
+        except (json.JSONDecodeError, OSError):
+            return
+        self._scores = [
+            (float(m), str(p))
+            for m, p in data.get("scores", [])
+            if Path(p).exists()
+        ]
+        self._scores.sort(key=lambda t: t[0])
+        keep = {Path(p).name for _, p in self._scores}
+        for d in self.directory.glob("step_*"):
+            if d.is_dir() and d.name not in keep:
+                shutil.rmtree(d, ignore_errors=True)
 
     def _save_tree(self, path: Path, tree):
         if path.exists():
@@ -53,6 +77,9 @@ class CheckpointManager:
         if metric is not None and self.top_k != 0:
             path = self.directory / f"step_{step}"
             self._save_tree(path, tree)
+            # re-saving the same step (epoch-end save followed by end-of-fit
+            # save) must replace its score entry, not duplicate it
+            self._scores = [s for s in self._scores if s[1] != str(path)]
             self._scores.append((float(metric), str(path)))
             self._scores.sort(key=lambda t: t[0])
             if self.top_k > 0:

@@ -124,12 +124,13 @@ class BaseTrainer:
         val_loader_fn = lambda: self._loader(self.val_dataset(), shuffle=False, drop_last=False)
 
         steps_per_epoch = max(len(train_loader), 1)
-        if cfg.val_check_interval <= 1:
-            val_every_steps = max(int(steps_per_epoch * min(cfg.val_check_interval, 0.5)), 1)
-            val_every_epochs = 1
+        # PL-1.1 val_check_interval semantics (reference trainer wiring,
+        # trainer_scene_net.py:228): a float in (0, 1] is a fraction of the
+        # training epoch; an integer > 1 means "every N training batches".
+        if cfg.val_check_interval > 1:
+            val_every_steps = int(cfg.val_check_interval)
         else:
-            val_every_steps = None
-            val_every_epochs = int(cfg.val_check_interval)
+            val_every_steps = max(int(steps_per_epoch * cfg.val_check_interval), 1)
         n_val = len(val_loader_fn())
         max_val_batches = max(int(n_val * cfg.val_check_percent), 1)
 
@@ -145,7 +146,11 @@ class BaseTrainer:
             self._trace_ctx.__enter__()
 
         last_val = {}
-        t0 = time.time()
+        # windowed throughput: steps/sec since the last log line, with
+        # validation time excluded, so the logged number reflects steady-state
+        # train-step rate rather than a compile-contaminated lifetime average
+        log_t0 = time.time()
+        log_step0 = self.global_step
         for epoch in range(cfg.max_epoch):
             for batch in train_loader:
                 if timer:
@@ -167,27 +172,22 @@ class BaseTrainer:
                     self._trace_ctx = None
                 if self.global_step % 10 == 0 or self.global_step == 1:
                     metrics = {k: float(v) for k, v in metrics.items()}
-                    metrics["steps_per_sec"] = self.global_step / max(time.time() - t0, 1e-9)
+                    metrics["steps_per_sec"] = (self.global_step - log_step0) / max(
+                        time.time() - log_t0, 1e-9
+                    )
                     self.logger.log(metrics, self.global_step)
-                if (
-                    val_every_steps is not None
-                    and self.global_step % val_every_steps == 0
-                    and epoch % max(val_every_epochs, 1) == 0
-                ):
+                    log_t0 = time.time()
+                    log_step0 = self.global_step
+                if self.global_step % val_every_steps == 0:
                     last_val = self.validate(
                         state, val_loader_fn(), max_batches=max_val_batches, do_vis=True
                     )
                     self.logger.log(last_val, self.global_step)
+                    log_t0 = time.time()  # exclude validation from the rate window
+                    log_step0 = self.global_step
                 if max_steps is not None and self.global_step >= max_steps:
                     self.ckpt.save(state, metric=last_val.get(self.monitor))
                     return state
-            # epoch-cadence validation (val_check_interval > 1 means "every N
-            # epochs", reference trainer wiring)
-            if val_every_steps is None and (epoch + 1) % max(val_every_epochs, 1) == 0:
-                last_val = self.validate(
-                    state, val_loader_fn(), max_batches=max_val_batches, do_vis=True
-                )
-                self.logger.log(last_val, self.global_step)
             if (epoch + 1) % max(cfg.save_epoch, 1) == 0:
                 self.ckpt.save(state, metric=last_val.get(self.monitor))
         self.ckpt.save(state, metric=last_val.get(self.monitor))

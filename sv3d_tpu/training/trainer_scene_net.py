@@ -270,6 +270,7 @@ class SceneNetTrainer(BaseTrainer):
         out_dir = self.exp_dir / "test_vis"
         out_dir.mkdir(parents=True, exist_ok=True)
         metrics = {}
+        n = 0
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
@@ -277,8 +278,8 @@ class SceneNetTrainer(BaseTrainer):
             m = self.eval_step(state, self._put(batch))
             for k, v in m.items():
                 metrics[k] = metrics.get(k, 0.0) + float(v)
-        n = max(i + 1, 1)
-        return {k: v / n for k, v in metrics.items()}
+            n += 1
+        return {k: v / max(n, 1) for k, v in metrics.items()}
 
 
 def train_scene_net(config: Config, max_steps=None):

@@ -94,3 +94,31 @@ def test_collate_mixed_types():
 def test_split_roundtrip(tmp_path):
     write_split(tmp_path, "s", "train", ["00000", "00001"])
     assert read_split(tmp_path, "s", "train") == ["00000", "00001"]
+
+
+def test_dataset_rng_thread_safe_deterministic():
+    """Point subsampling is seeded per (seed, epoch, idx): identical batches
+    for any num_workers, fresh draws each epoch, no shared-Generator races."""
+
+    def collect(num_workers):
+        ds = SceneNetDataset(
+            "train", FIXTURE_DATA, num_points=16, splitsdir="overfit", seed=7
+        )
+        loader = DataLoader(
+            ds, batch_size=4, shuffle=False, num_workers=num_workers, seed=7
+        )
+        return [
+            np.concatenate([b["points"].ravel() for b in loader]) for _ in range(2)
+        ]
+
+    serial = collect(0)
+    threaded = collect(4)
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a, b)
+    # epochs draw different subsamples
+    assert not np.array_equal(serial[0], serial[1])
+    # different dataset indices of the same repeated item differ too
+    ds = SceneNetDataset(
+        "train", FIXTURE_DATA, num_points=16, splitsdir="overfit", seed=7
+    )
+    assert not np.array_equal(ds[0]["points"], ds[1]["points"])

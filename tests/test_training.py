@@ -149,3 +149,116 @@ def test_unet_warm_start(tmp_path):
     np.testing.assert_allclose(
         s2b.params["ifnet"]["dense"]["kernel"], s2.params["ifnet"]["dense"]["kernel"]
     )
+
+
+def test_checkpoint_manifest_reload(tmp_path):
+    """Top-k checkpoint state survives a manager restart and stale step dirs
+    are pruned (the reference's PL ModelCheckpoint keeps best_k_models across
+    resume, trainer_scene_net.py:217)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from sv3d_tpu.training.checkpoint import CheckpointManager
+    from sv3d_tpu.training.optim import build_optimizer
+    from sv3d_tpu.training.state import create_train_state
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(2)(x)
+
+    model = Tiny()
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2)))
+    state = create_train_state(model, v, build_optimizer(1e-3, v["params"]))
+
+    ckpt = CheckpointManager(tmp_path / "ck", top_k=2)
+    ckpt.save(state, metric=3.0, step=1)
+    ckpt.save(state, metric=1.0, step=2)
+    ckpt.save(state, metric=2.0, step=3)  # evicts step_1 (worst of 3)
+    assert not (tmp_path / "ck" / "step_1").exists()
+    scores_before = [(m, str(p)) for m, p in ckpt._scores]
+
+    # a stale dir (crash between step save and manifest write) is pruned
+    (tmp_path / "ck" / "step_99").mkdir()
+    ckpt2 = CheckpointManager(tmp_path / "ck", top_k=2)
+    assert [(m, str(p)) for m, p in ckpt2._scores] == scores_before
+    assert not (tmp_path / "ck" / "step_99").exists()
+    assert ckpt2.best_path().endswith("step_2")
+
+    # eviction after reload still removes the correct (worst) checkpoint
+    ckpt2.save(state, metric=0.5, step=4)
+    assert not (tmp_path / "ck" / "step_3").exists()
+    assert (tmp_path / "ck" / "step_2").exists()
+    assert (tmp_path / "ck" / "step_4").exists()
+
+    # re-saving the SAME step (epoch-end save + end-of-fit save) replaces the
+    # score entry instead of duplicating it
+    ckpt2.save(state, metric=0.4, step=4)
+    assert [p for _, p in ckpt2._scores].count(str(tmp_path / "ck" / "step_4")) == 1
+    assert len(ckpt2._scores) == 2
+
+
+def test_val_check_interval_batches(tmp_path):
+    """Integer val_check_interval means 'every N training batches' (PL 1.1
+    semantics, reference trainer_scene_net.py:228)."""
+    import json as _json
+
+    from sv3d_tpu.training.trainer_ifnet import ImplicitRefinementTrainer
+
+    cfg = Config(
+        datasetdir=str(tmp_path / "data"),
+        splitsdir="synth",
+        scale_factor=8,
+        num_points=16,
+        batch_size=2,
+        max_epoch=5,
+        seed=0,
+        sanity_steps=0,
+        experiment="test_vci",
+        net_res=32,
+        val_check_interval=2,
+    )
+    _synthetic_implicit_tree(tmp_path / "data", dims=cfg.dims)
+    trainer = ImplicitRefinementTrainer(cfg, experiment_dir=tmp_path / "exp")
+    trainer.fit(max_steps=5)
+
+    log = (tmp_path / "exp" / "logs" / "metrics.jsonl").read_text().splitlines()
+    val_steps = [
+        _json.loads(line)["step"]
+        for line in log
+        if "val_ce_loss" in _json.loads(line)
+    ]
+    assert val_steps == [2, 4]
+
+
+def test_scene_net_test_empty_loader(tmp_path):
+    """SceneNetTrainer.test must not crash when the test split is empty
+    (reference --test entry, trainer_scene_net.py:234-240)."""
+    from sv3d_tpu.training.trainer_scene_net import SceneNetTrainer
+
+    cfg = Config(
+        datasetdir=str(FIXTURE_DATA),
+        splitsdir="overfit",
+        scale_factor=8,
+        num_points=8,
+        batch_size=1,
+        seed=0,
+        skip_unet=True,
+        experiment="test_empty",
+        net_res=32,
+    )
+    trainer = SceneNetTrainer(cfg, experiment_dir=tmp_path / "exp")
+    state = trainer.build_state(trainer._next_rng())
+    trainer.ckpt.save(state)
+
+    class Empty:
+        def __len__(self):
+            return 0
+
+        def __getitem__(self, i):
+            raise IndexError(i)
+
+    trainer.test_dataset = lambda: Empty()
+    metrics = trainer.test(str(tmp_path / "exp" / "checkpoints" / "last"))
+    assert metrics == {}
