@@ -3,7 +3,14 @@ from sv3d_tpu.parallel.mesh import (
     make_mesh,
     point_sharding,
     replicate,
+    replicate_tree,
     shard_batch,
+)
+from sv3d_tpu.parallel.multihost import (
+    initialize_distributed,
+    is_main_process,
+    process_count,
+    process_index,
 )
 
 __all__ = [
@@ -12,4 +19,9 @@ __all__ = [
     "point_sharding",
     "shard_batch",
     "replicate",
+    "replicate_tree",
+    "initialize_distributed",
+    "is_main_process",
+    "process_count",
+    "process_index",
 ]

@@ -64,10 +64,31 @@ def shard_batch(batch: dict, mesh: Mesh, point_keys=POINT_KEYS) -> dict:
     sp == 0 (2*num_points is even, so any power-of-two sp works)."""
     sh = batch_sharding(mesh)
     psh = point_sharding(mesh)
+    multihost = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, (np.ndarray, jax.Array)):
-            out[k] = jax.device_put(v, psh if k in point_keys and v.ndim >= 2 else sh)
+            s = psh if k in point_keys and v.ndim >= 2 else sh
+            if multihost:
+                # v is this process's local slice of the global batch (the
+                # DataLoader's process_index slicing); assemble the global
+                # array without any cross-host transfer
+                out[k] = jax.make_array_from_process_local_data(s, np.asarray(v))
+            else:
+                out[k] = jax.device_put(v, s)
         else:
             out[k] = v
     return out
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Replicate a pytree (params / train state) over the whole mesh.  In
+    multi-host mode every process holds identical host-side values (same seed
+    or same restored checkpoint), so the global replicated arrays are
+    assembled from process-local data."""
+    sh = replicate(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), tree
+        )
+    return jax.device_put(tree, sh)

@@ -27,14 +27,25 @@ class CheckpointManager:
     a monitored metric plus 'last' (reference ModelCheckpoint(save_top_k=2,
     save_last=True, monitor='val_ce_loss'), trainer_scene_net.py:217)."""
 
-    def __init__(self, directory: str | Path, top_k: int = 2, keep_last: bool = True):
+    def __init__(
+        self,
+        directory: str | Path,
+        top_k: int = 2,
+        keep_last: bool = True,
+        enabled: bool = True,
+    ):
+        """enabled=False makes save() a no-op (non-main processes in
+        multi-host runs); restore stays available on every process."""
         self.directory = Path(directory)
-        self.directory.mkdir(parents=True, exist_ok=True)
+        self.enabled = enabled
+        if enabled:
+            self.directory.mkdir(parents=True, exist_ok=True)
         self.top_k = top_k
         self.keep_last = keep_last
         self._ckpt = ocp.PyTreeCheckpointer()
         self._scores: list = []  # (metric, path)
-        self._load_manifest()
+        if enabled:
+            self._load_manifest()
 
     def _load_manifest(self):
         """Restore top-k state from a previous run's manifest so best-k
@@ -65,6 +76,8 @@ class CheckpointManager:
         self._ckpt.save(path.absolute(), _tree_to_numpy(tree))
 
     def save(self, state, metric: Optional[float] = None, step: Optional[int] = None):
+        if not self.enabled:
+            return
         step = int(state.step) if step is None else step
         tree = {
             "params": state.params,

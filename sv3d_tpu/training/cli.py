@@ -45,9 +45,23 @@ def build_parser() -> argparse.ArgumentParser:
     # parallelism (new)
     p.add_argument("--dp", type=int, default=1, help="data-parallel mesh size")
     p.add_argument("--sp", type=int, default=1, help="point-sharding mesh size")
+    # multi-host (DCN): explicit cluster coordinates; omit all three for
+    # single-host or env/metadata-based auto-detection
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
 def parse_config(argv=None) -> Config:
-    args = build_parser().parse_args(argv)
-    return Config(**vars(args))
+    args = vars(build_parser().parse_args(argv))
+    # join the multi-host cluster BEFORE any jax backend use (no-op when the
+    # flags are absent and no cluster environment is detected)
+    from sv3d_tpu.parallel.multihost import initialize_distributed
+
+    initialize_distributed(
+        coordinator_address=args.pop("coordinator_address"),
+        num_processes=args.pop("num_processes"),
+        process_id=args.pop("process_id"),
+    )
+    return Config(**args)

@@ -17,7 +17,8 @@ import jax
 import numpy as np
 
 from sv3d_tpu.config import Config
-from sv3d_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sv3d_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from sv3d_tpu.parallel.multihost import is_main_process, process_count, process_index
 from sv3d_tpu.training.checkpoint import CheckpointManager, load_state_from_checkpoint
 from sv3d_tpu.training.logging import MetricLogger
 
@@ -44,10 +45,15 @@ class BaseTrainer:
             mesh = make_mesh(config.dp, config.sp)
         self.mesh = mesh
 
+        # multi-host: only process 0 writes checkpoints/logs/visualizations
+        # (the PL rank-zero convention; state is replicated so process 0 holds
+        # everything it needs)
+        self.is_main = is_main_process()
         self.exp_dir = Path(experiment_dir) if experiment_dir else config.experiment_dir()
-        self.exp_dir.mkdir(parents=True, exist_ok=True)
-        self.ckpt = CheckpointManager(self.exp_dir / "checkpoints")
-        self.logger = MetricLogger(self.exp_dir / "logs")
+        if self.is_main:
+            self.exp_dir.mkdir(parents=True, exist_ok=True)
+        self.ckpt = CheckpointManager(self.exp_dir / "checkpoints", enabled=self.is_main)
+        self.logger = MetricLogger(self.exp_dir / "logs", enabled=self.is_main)
         self.global_step = 0
 
     # -- subclass hooks ------------------------------------------------------
@@ -80,6 +86,8 @@ class BaseTrainer:
             drop_last=drop_last,
             num_workers=self.config.num_workers,
             seed=self.config.seed,
+            process_index=process_index(),
+            process_count=process_count(),
         )
 
     def _next_rng(self):
@@ -93,7 +101,7 @@ class BaseTrainer:
 
     def _put_state(self, state):
         if self.mesh is not None:
-            return jax.device_put(state, replicate(self.mesh))
+            return replicate_tree(state, self.mesh)
         return state
 
     def validate(self, state, loader, max_batches: Optional[int] = None, do_vis=False):
@@ -105,7 +113,7 @@ class BaseTrainer:
             metrics = self.eval_step(state, self._put(batch))
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
-            if do_vis and self.config.visualize and i == 0:
+            if do_vis and self.config.visualize and i == 0 and self.is_main:
                 vis_dir = self.exp_dir / "vis" / f"{self.global_step // 100:05d}"
                 vis_dir.mkdir(parents=True, exist_ok=True)
                 self.visualize(state, batch, vis_dir)

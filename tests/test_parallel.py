@@ -222,3 +222,55 @@ def test_trainer_fit_on_dp_sp_mesh(tmp_path):
     ]
     rec = next(r for r in log if "train_ce_loss" in r)
     assert np.isfinite(rec["train_ce_loss"]) and np.isfinite(rec["train_loss"])
+
+
+def test_loader_process_slicing():
+    """Multi-host data feeding: per-process loaders with the same seed
+    partition every global batch into contiguous equal slices (the dp row
+    layout shard_batch expects)."""
+    from sv3d_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return {"x": np.array([i])}
+
+    def batches(**kw):
+        return [
+            b["x"][:, 0]
+            for b in DataLoader(DS(), batch_size=4, shuffle=True, seed=3, prefetch=0, **kw)
+        ]
+
+    full = batches()
+    p0 = batches(process_index=0, process_count=2)
+    p1 = batches(process_index=1, process_count=2)
+    assert len(full) == len(p0) == len(p1) == 3
+    for f, a, b in zip(full, p0, p1):
+        assert a.shape == b.shape == (2,)
+        np.testing.assert_array_equal(np.concatenate([a, b]), f)
+
+    with pytest.raises(ValueError):
+        DataLoader(DS(), batch_size=3, process_count=2)
+
+
+def test_multihost_helpers_single_process():
+    """Single-process mode: helpers degrade to identity and
+    initialize_distributed is a safe no-op."""
+    from sv3d_tpu.parallel import multihost
+
+    assert multihost.process_count() == 1
+    assert multihost.process_index() == 0
+    assert multihost.is_main_process()
+    assert multihost.initialize_distributed() is False
+
+
+def test_replicate_tree_single_host():
+    from sv3d_tpu.parallel.mesh import replicate_tree
+
+    mesh = make_mesh(dp=4, sp=2)
+    tree = {"w": np.arange(6, dtype=np.float32)}
+    rep = replicate_tree(tree, mesh)
+    assert len(rep["w"].addressable_shards) == 8
+    np.testing.assert_array_equal(np.asarray(rep["w"]), tree["w"])

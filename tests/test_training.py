@@ -262,3 +262,26 @@ def test_scene_net_test_empty_loader(tmp_path):
     trainer.test_dataset = lambda: Empty()
     metrics = trainer.test(str(tmp_path / "exp" / "checkpoints" / "last"))
     assert metrics == {}
+
+
+def test_writers_disabled_on_non_main(tmp_path):
+    """Non-main processes (multi-host) must not touch the filesystem: logger
+    and checkpoint manager are constructed with enabled=False."""
+    from sv3d_tpu.training.checkpoint import CheckpointManager
+    from sv3d_tpu.training.logging import MetricLogger
+
+    lg = MetricLogger(tmp_path / "logs", enabled=False)
+    lg.log({"a": 1.0}, 1)
+    lg.close()
+    assert not (tmp_path / "logs").exists()
+
+    ck = CheckpointManager(tmp_path / "ck", enabled=False)
+
+    class S:
+        step = 1
+        params = {}
+        batch_stats = {}
+        opt_state = {}
+
+    ck.save(S(), metric=1.0)
+    assert not (tmp_path / "ck").exists()
