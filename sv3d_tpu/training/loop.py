@@ -75,6 +75,13 @@ class BaseTrainer:
     def visualize(self, state, batch, out_dir: Path):
         pass
 
+    def vis_datasets(self) -> dict:
+        """name -> dataset pairs to visualize at validation time (the
+        reference keeps dedicated train_vis/val_vis split dataloaders,
+        trainer_scene_net.py:57-67,170-188).  Empty dict falls back to
+        visualizing the first validation batch."""
+        return {}
+
     # -- loop ----------------------------------------------------------------
     def _loader(self, dataset, shuffle: bool, drop_last: bool):
         from sv3d_tpu.data.loader import DataLoader
@@ -107,18 +114,37 @@ class BaseTrainer:
     def validate(self, state, loader, max_batches: Optional[int] = None, do_vis=False):
         agg: dict = {}
         count = 0
+        first_batch = None
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
             metrics = self.eval_step(state, self._put(batch))
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
-            if do_vis and self.config.visualize and i == 0 and self.is_main:
-                vis_dir = self.exp_dir / "vis" / f"{self.global_step // 100:05d}"
-                vis_dir.mkdir(parents=True, exist_ok=True)
-                self.visualize(state, batch, vis_dir)
+            if i == 0:
+                first_batch = batch
             count += 1
+        if do_vis and self.config.visualize and self.is_main:
+            self._visualize_pass(state, first_batch)
         return {k: v / max(count, 1) for k, v in agg.items()}
+
+    def _visualize_pass(self, state, fallback_batch):
+        """Dump artifacts for the dedicated vis splits (reference
+        train_vis/val_vis dataloaders); falls back to the first validation
+        batch when no vis split exists."""
+        vis_dir = self.exp_dir / "vis" / f"{self.global_step // 100:05d}"
+        named = self.vis_datasets()
+        if named:
+            for name, ds in named.items():
+                loader = self._loader(ds, shuffle=False, drop_last=False)
+                batch = next(iter(loader), None)
+                if batch is not None:
+                    out = vis_dir / name
+                    out.mkdir(parents=True, exist_ok=True)
+                    self.visualize(state, self._put(batch), out)
+        elif fallback_batch is not None:
+            vis_dir.mkdir(parents=True, exist_ok=True)
+            self.visualize(state, self._put(fallback_batch), vis_dir)
 
     def fit(self, max_steps: Optional[int] = None):
         cfg = self.config

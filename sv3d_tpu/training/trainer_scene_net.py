@@ -185,6 +185,22 @@ class SceneNetTrainer(BaseTrainer):
             c.resize_input, c.W, seed=c.seed,
         )
 
+    def vis_datasets(self):
+        """Dedicated visualization splits (reference train_vis/val_vis
+        dataloaders, trainer_scene_net.py:57-67); only splits whose files
+        exist are visualized."""
+        from sv3d_tpu.data.splits import split_path
+
+        c = self.config
+        out = {}
+        for split in ("train_vis", "val_vis"):
+            if split_path(c.datasetdir, c.splitsdir, split).exists():
+                out[split] = SceneNetDataset(
+                    split, c.datasetdir, c.num_points, c.splitsdir,
+                    c.resize_input, c.W, seed=c.seed,
+                )
+        return out
+
     def _occupancies_with_pc(self, state, batch, rng_key):
         """Host labeling of the projected subsample (reference
         trainer_scene_net.py:112-114)."""
@@ -220,7 +236,11 @@ class SceneNetTrainer(BaseTrainer):
 
     def visualize(self, state, batch, out_dir: Path):
         from sv3d_tpu.inference.dense_grid import implicit_to_mesh
-        from sv3d_tpu.utils.visualize import visualize_depthmap, visualize_grid
+        from sv3d_tpu.utils.visualize import (
+            visualize_depthmap,
+            visualize_grid,
+            visualize_point_list,
+        )
 
         rng_key = jax.random.PRNGKey(0)
         occ = batch["occupancies"]
@@ -240,8 +260,15 @@ class SceneNetTrainer(BaseTrainer):
             "params": state.params["ifnet"],
             "batch_stats": state.batch_stats.get("ifnet", {}),
         }
+        # projected point cloud in grid space, overlayable with the voxel-box
+        # OBJ (reference dumps the pre-voxelization cloud,
+        # trainer_scene_net.py:170-188)
+        from sv3d_tpu.geometry.transforms import unnorm_grid_space
+
+        pc_grid = np.asarray(unnorm_grid_space(jnp.asarray(pc), self.config.dims))
         for i, name in enumerate(batch["name"]):
             base = "_".join(str(name).split("/")[-3:])
+            visualize_point_list(pc_grid[i], out_dir / f"{base}_projected_pc.obj")
             visualize_grid(np.asarray(vox[i, ..., 0]), out_dir / f"{base}_voxelized.obj")
             implicit_to_mesh(
                 ifnet, ifnet_vars, vox[i : i + 1], self.config.dims, 0.5,

@@ -285,3 +285,33 @@ def test_writers_disabled_on_non_main(tmp_path):
 
     ck.save(S(), metric=1.0)
     assert not (tmp_path / "ck").exists()
+
+
+def test_vis_splits_consumed(tmp_path):
+    """Validation-time visualization reads the dedicated train_vis/val_vis
+    splits (reference trainer_scene_net.py:57-67,170-188) and dumps the
+    projected point cloud alongside grid/mesh/depth artifacts."""
+    from sv3d_tpu.training.trainer_scene_net import SceneNetTrainer
+
+    cfg = Config(
+        datasetdir=str(FIXTURE_DATA),
+        splitsdir="overfit",
+        scale_factor=8,
+        num_points=8,
+        batch_size=1,
+        max_epoch=1,
+        seed=0,
+        sanity_steps=0,
+        skip_unet=True,
+        experiment="test_vis",
+        net_res=32,
+        val_check_interval=2,
+        visualize=True,
+    )
+    trainer = SceneNetTrainer(cfg, experiment_dir=tmp_path / "exp")
+    assert set(trainer.vis_datasets()) == {"train_vis", "val_vis"}
+    trainer.fit(max_steps=2)
+    for split in ("train_vis", "val_vis"):
+        names = [f.name for f in (tmp_path / "exp" / "vis" / "00000" / split).glob("*")]
+        assert any(n.endswith("_projected_pc.obj") for n in names), names
+        assert any(n.endswith("_voxelized.obj") for n in names), names
