@@ -1,24 +1,34 @@
-"""Headline benchmark: dense-grid occupancy query throughput per chip.
+"""Headline benchmarks (run on the real TPU chip by the driver).
 
-The reference's dense-grid inference re-runs the whole IF-Net conv pyramid for
-every point chunk (reference model/ifnet.py:215-229) on a V100-class GPU;
-BASELINE.md's north-star asks for >=5x that throughput per TPU chip.
+Two north-star metrics (BASELINE.md):
 
-This bench encodes the feature pyramid ONCE and sweeps the full dense lattice
-(res_increase=2 -> 278 x 208 x 224 = 12.95M query points over the full-scale
-frustum grid) through IFNet.query_lattice — the separable-resize formulation
-that turns per-point trilinear gathers into banded MXU matmuls
-(sv3d_tpu/ops/lattice.py).  Timing is synced with a device_get of the result
-(block_until_ready alone does not synchronize through tunneled TPU
-platforms), with the transfer/roundtrip measured separately and subtracted.
+1. occupancy query points/sec/chip — dense-grid sweep throughput.  The
+   reference re-runs the whole IF-Net conv pyramid for every point chunk
+   (reference model/ifnet.py:215-229) on a V100-class GPU.  Here the feature
+   pyramid is encoded ONCE and the full dense lattice (res_increase=2 ->
+   278 x 208 x 224 = 12.95M query points over the full-scale frustum grid)
+   sweeps through IFNet.query_lattice — the separable-resize formulation that
+   turns per-point trilinear gathers into banded MXU matmuls
+   (sv3d_tpu/ops/lattice.py).
 
-Baseline constant: the reference evaluates chunks of num_points*batch_size =
+2. sec/scene image->mesh — WARM end-to-end latency of the full pipeline:
+   rgb -> UNet depth -> differentiable back-projection/voxelization -> IF-Net
+   encode -> dense sweep -> host marching cubes -> .obj.  Compile excluded
+   (one warmup run); component times reported alongside.
+
+Timing is synced with device_get of results (block_until_ready alone does not
+synchronize through tunneled TPU platforms), with the transfer roundtrip
+measured separately and subtracted where it is not part of the work.
+
+Baseline constants are ESTIMATES, not measurements (the reference's V100 was
+not available): the reference evaluates chunks of num_points*batch_size =
 32,768 points, re-running the full 128-res encoder (~35 GFLOP over the
 139x104x112 grid) plus six grid_sample levels per chunk; on a V100 that is
-~30-60 ms/chunk => ~0.6-1.1M points/s.  We take 1.0e6 points/s as the
-baseline (generous to the reference).
+~30-60 ms/chunk => ~0.6-1.1M points/s.  We take 1.0e6 points/s, generous to
+the reference; the implied image->mesh baseline at the same 12.95M-point
+resolution is ~13 s + marching cubes ~= 15 s.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 from __future__ import annotations
@@ -37,29 +47,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_POINTS_PER_SEC = 1.0e6
+BASELINE_POINTS_PER_SEC = 1.0e6  # estimate; see module docstring
+BASELINE_SEC_PER_SCENE = 15.0  # estimate; see module docstring
 DIMS = (139, 104, 112)
 RES_INCREASE = 2
 SLAB_ROWS = 2
 N_TIMED = 3
 
 
-def main():
+def _roundtrip_cost():
+    trivial = jax.jit(lambda x: x + 1.0)
+    _ = trivial(jnp.zeros(())).item()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = trivial(jnp.zeros(())).item()
+    return (time.perf_counter() - t0) / 5
+
+
+def bench_points():
+    """Dense-sweep throughput with a pre-encoded pyramid."""
     from sv3d_tpu.config import IFNetConfig
     from sv3d_tpu.inference.dense_grid import evaluate_on_grid_device
     from sv3d_tpu.models.ifnet import IFNet
 
     model = IFNet(IFNetConfig.for_net_res(128))
-
     rng = jax.random.PRNGKey(0)
     grid = (jax.random.uniform(rng, (1, *DIMS, 1)) > 0.97).astype(jnp.float32)
     variables = model.init(rng, grid, jnp.zeros((1, 8, 3)), train=False)
 
     encode = jax.jit(lambda v, g: model.apply(v, g, train=False, method=IFNet.encode))
     levels = encode(variables, grid)
-    # sync through a tiny transfer (block_until_ready may be a no-op on
-    # tunneled platforms)
-    _ = jax.device_get(levels.flats[0][0, 0, :1])
+    _ = jax.device_get(levels.flats[0][0, 0, :1])  # sync
 
     res = tuple(d * RES_INCREASE for d in DIMS)
     n_points = res[0] * res[1] * res[2]
@@ -68,28 +86,84 @@ def main():
         out = evaluate_on_grid_device(
             model, variables, levels, DIMS, RES_INCREASE, SLAB_ROWS
         )
-        # force execution with a scalar pull
-        return float(jnp.sum(out[0, 0, :8]))
+        return float(jnp.sum(out[0, 0, :8]))  # force execution with a scalar pull
 
-    # roundtrip cost of the sync itself
-    trivial = jax.jit(lambda x: x + 1.0)
-    _ = trivial(jnp.zeros(())).item()
-    t0 = time.perf_counter()
-    for _ in range(5):
-        _ = trivial(jnp.zeros(())).item()
-    rt = (time.perf_counter() - t0) / 5
-
+    rt = _roundtrip_cost()
     run()  # compile + warmup
     run()
-
     times = []
     for _ in range(N_TIMED):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0 - rt)
-    dt = min(times)
+    return n_points / min(times)
 
-    pps = n_points / dt
+
+def bench_scene():
+    """Warm image->mesh latency of the full SceneNet pipeline (one scene)."""
+    from sv3d_tpu.config import Config
+    from sv3d_tpu.inference.dense_grid import evaluate_on_grid_device
+    from sv3d_tpu.models.ifnet import IFNet
+    from sv3d_tpu.models.scene_net import SceneNet
+    from sv3d_tpu.utils.visualize import visualize_sdf
+    from __graft_entry__ import _INTRINSICS
+    from sv3d_tpu.geometry.frustum import FrustumGrid
+
+    cfg = Config(seed=0, num_points=8, batch_size=1, net_res=128)
+    frustum = FrustumGrid.create(_INTRINSICS, voxel_size=0.05)
+    model = SceneNet(cfg, _INTRINSICS, frustum)
+
+    rng = jax.random.PRNGKey(0)
+    rgb = jax.random.uniform(rng, (1, 240, 320, 3), jnp.float32, -1.0, 1.0)
+    depth_t = jnp.full((1, 240, 320), 2.0, jnp.float32)
+    pts = jnp.zeros((1, 16, 3), jnp.float32)
+    variables = model.init(rng, rgb, depth_t, pts, train=False)
+
+    @jax.jit
+    def image_to_grid(variables, rgb):
+        depth = model.apply(variables, rgb, train=False, method=SceneNet.predict_depth)
+        pc = model.apply(variables, depth, method=SceneNet.project_depth)
+        return model.apply(variables, pc, method=lambda m, p: m.project(p))
+
+    ifnet = IFNet(cfg.ifnet())
+    ifnet_vars = {
+        "params": variables["params"]["ifnet"],
+        "batch_stats": variables["batch_stats"].get("ifnet", {}),
+    }
+    encode = jax.jit(
+        lambda v, g: IFNet(cfg.ifnet()).apply(v, g, train=False, method=IFNet.encode)
+    )
+    res0 = DIMS[0] * RES_INCREASE
+    out_path = "/tmp/bench_scene_mesh.obj"
+
+    def run():
+        t0 = time.perf_counter()
+        vox = image_to_grid(variables, rgb)
+        levels = encode(ifnet_vars, vox)
+        value = evaluate_on_grid_device(
+            ifnet, ifnet_vars, levels, DIMS, RES_INCREASE, SLAB_ROWS
+        )
+        value_np = np.asarray(value)[:res0]  # device->host pull (part of the work)
+        t1 = time.perf_counter()
+        visualize_sdf(1.0 - value_np, out_path, level=0.5)
+        t2 = time.perf_counter()
+        return t1 - t0, t2 - t1
+
+    run()  # compile + warmup
+    run()
+    totals, devs, mcs = [], [], []
+    for _ in range(N_TIMED):
+        d, m = run()
+        devs.append(d)
+        mcs.append(m)
+        totals.append(d + m)
+    i = int(np.argmin(totals))
+    return totals[i], devs[i], mcs[i]
+
+
+def main():
+    pps = bench_points()
+    scene_s, device_s, mc_s = bench_scene()
     print(
         json.dumps(
             {
@@ -97,6 +171,11 @@ def main():
                 "value": round(pps, 1),
                 "unit": "points/s",
                 "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+                "sec_per_scene_image_to_mesh": round(scene_s, 3),
+                "sec_per_scene_device": round(device_s, 3),
+                "sec_per_scene_marching_cubes": round(mc_s, 3),
+                "sec_per_scene_vs_baseline": round(BASELINE_SEC_PER_SCENE / scene_s, 3),
+                "note": "baselines are FLOP-argument estimates for the reference on V100 (1.0M pts/s; 15 s/scene at the same 12.95M-point resolution), not measurements",
             }
         )
     )

@@ -1,0 +1,126 @@
+"""Measure TPU train-step component costs to direct kernel work.
+
+Times (warm, synced via scalar pulls with tunnel roundtrip subtracted):
+  * scatter_voxels (XLA trilinear scatter-add)       — voxelization hot op
+  * voxelize (scatter + learnable Gaussian smoothing)
+  * IFNet.query gather path at training point counts — grid_sample hot op
+  * full SceneNet train step (fwd+bwd+adam)
+
+Run on the real chip: python scripts/measure_step.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B = 8
+N_POINTS = 4096  # 2 * num_points(2048), the reference's training load
+DIMS = (139, 104, 112)
+
+
+def timeit(fn, *args, n=5):
+    fn(*args)  # compile
+    fn(*args)
+    # roundtrip cost
+    trivial = jax.jit(lambda x: x + 1.0)
+    trivial(jnp.zeros(())).item()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        trivial(jnp.zeros(())).item()
+    rt = (time.perf_counter() - t0) / 5
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn(*args)
+        times.append(time.perf_counter() - t0 - rt)
+    return min(times)
+
+
+def main():
+    from sv3d_tpu.config import Config, IFNetConfig
+    from sv3d_tpu.models.ifnet import IFNet
+    from sv3d_tpu.ops.voxelize import gaussian_kernels_1d, scatter_voxels, voxelize
+
+    rng = jax.random.PRNGKey(0)
+    pts_vox = jax.random.uniform(rng, (B, 76800, 3), jnp.float32, -0.45, 0.45)
+    sigma = jnp.asarray([1.5, 1.5, 1.5])
+
+    scatter = jax.jit(lambda p: scatter_voxels(p, DIMS))
+    f_scatter = lambda p: scatter(p)[0, 0, 0, 0].item()
+    print(f"scatter_voxels  (B={B}, 76800 pts): {timeit(f_scatter, pts_vox)*1e3:8.2f} ms")
+
+    vox_full = jax.jit(lambda p, s: voxelize(p, DIMS, s, (3, 3, 3)))
+    f_vox = lambda p, s: vox_full(p, s)[0, 0, 0, 0, 0].item()
+    print(f"voxelize full   (B={B}, 76800 pts): {timeit(f_vox, pts_vox, sigma)*1e3:8.2f} ms")
+
+    # scatter backward (the training path differentiates through points)
+    g_scatter = jax.jit(jax.grad(lambda p: jnp.sum(scatter_voxels(p, DIMS) ** 2)))
+    f_gs = lambda p: g_scatter(p)[0, 0, 0].item()
+    print(f"scatter grad    (B={B}, 76800 pts): {timeit(f_gs, pts_vox)*1e3:8.2f} ms")
+
+    # IFNet gather-path query at training size
+    model = IFNet(IFNetConfig.for_net_res(128))
+    grid = (jax.random.uniform(rng, (B, *DIMS, 1)) > 0.97).astype(jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), grid[:1], jnp.zeros((1, 8, 3)), train=False)
+    pts_q = jax.random.uniform(rng, (B, N_POINTS, 3), jnp.float32, -0.45, 0.45)
+
+    encode = jax.jit(lambda v, g: model.apply(v, g, train=False, method=IFNet.encode))
+    levels = encode(variables, grid)
+    jax.device_get(levels.flats[0][0, 0, :1])
+
+    query = jax.jit(lambda v, lv, p: model.apply(v, lv, p, method=IFNet.query))
+    f_q = lambda v, lv, p: query(v, lv, p)[0, 0].item()
+    dt = timeit(f_q, variables, levels, pts_q)
+    print(
+        f"IFNet.query     (B={B}, {N_POINTS} pts): {dt*1e3:8.2f} ms"
+        f"  ({B*N_POINTS/dt/1e6:.2f} M pts/s)"
+    )
+
+    f_enc = lambda v, g: encode(v, g).flats[-1][0, 0, 0].item()
+    print(f"IFNet.encode    (B={B}):            {timeit(f_enc, variables, grid)*1e3:8.2f} ms")
+
+    # query backward (grads into pyramid AND points)
+    def qloss(v, lv, p):
+        return jnp.sum(model.apply(v, lv, p, method=IFNet.query) ** 2)
+
+    gq = jax.jit(jax.grad(qloss, argnums=(1, 2)))
+    f_gq = lambda v, lv, p: gq(v, lv, p)[1][0, 0, 0].item()
+    print(f"query grad      (B={B}, {N_POINTS} pts): {timeit(f_gq, variables, levels, pts_q)*1e3:8.2f} ms")
+
+    # full scene-net train step
+    from __graft_entry__ import _INTRINSICS
+    from sv3d_tpu.geometry.frustum import FrustumGrid
+    from sv3d_tpu.models.scene_net import SceneNet
+    from sv3d_tpu.training.optim import build_optimizer
+    from sv3d_tpu.training.state import create_train_state
+    from sv3d_tpu.training.trainer_scene_net import make_train_step
+
+    cfg = Config(seed=0, num_points=2048, batch_size=B, net_res=128)
+    frustum = FrustumGrid.create(_INTRINSICS, voxel_size=0.05)
+    snet = SceneNet(cfg, _INTRINSICS, frustum)
+    rgb = jax.random.uniform(rng, (B, 240, 320, 3), jnp.float32, -1, 1)
+    depth_t = jnp.full((B, 240, 320), 2.0)
+    occ = (jax.random.uniform(rng, (B, N_POINTS)) > 0.5).astype(jnp.float32)
+    svars = snet.init(jax.random.PRNGKey(2), rgb[:1], depth_t[:1], pts_q[:1], train=False)
+    state = create_train_state(snet, svars, build_optimizer(1e-4, svars["params"]))
+    step = make_train_step(snet, cfg)
+
+    def f_step(state, rgb, depth_t, p, occ):
+        s2, m = step(state, rgb, depth_t, p, occ, jax.random.PRNGKey(3))
+        return m["train_loss"].item()
+
+    print(f"train step      (B={B}):            {timeit(f_step, state, rgb, depth_t, pts_q, occ)*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
