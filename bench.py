@@ -100,7 +100,14 @@ def bench_points():
 
 
 def bench_scene():
-    """Warm image->mesh latency of the full SceneNet pipeline (one scene)."""
+    """Warm image->mesh latency of the full SceneNet pipeline (one scene).
+
+    Uses the trained end-to-end checkpoint (runs/quality_e2e) and the overfit
+    fixture image when available, so the occupancy field — and hence the
+    marching-cubes load — is the realistic thin-surface one; falls back to
+    random init/input otherwise."""
+    from pathlib import Path
+
     from sv3d_tpu.config import Config
     from sv3d_tpu.inference.dense_grid import evaluate_on_grid_device
     from sv3d_tpu.models.ifnet import IFNet
@@ -114,10 +121,31 @@ def bench_scene():
     model = SceneNet(cfg, _INTRINSICS, frustum)
 
     rng = jax.random.PRNGKey(0)
-    rgb = jax.random.uniform(rng, (1, 240, 320, 3), jnp.float32, -1.0, 1.0)
+    root = Path(os.path.dirname(os.path.abspath(__file__)))
+    rgb_path = root / ".fixture_data" / "raw" / "overfit" / "00000" / "rgb.png"
+    if rgb_path.exists():
+        from sv3d_tpu.io.image import load_rgb, normalize_rgb
+
+        rgb = jnp.asarray(
+            np.moveaxis(normalize_rgb(load_rgb(rgb_path)), 0, -1)[None]
+        )
+    else:
+        rgb = jax.random.uniform(rng, (1, 240, 320, 3), jnp.float32, -1.0, 1.0)
     depth_t = jnp.full((1, 240, 320), 2.0, jnp.float32)
     pts = jnp.zeros((1, 16, 3), jnp.float32)
     variables = model.init(rng, rgb, depth_t, pts, train=False)
+
+    ckpt = root / "runs" / "quality_e2e" / "checkpoints" / "last"
+    if ckpt.exists():
+        from sv3d_tpu.training.checkpoint import _restore_like, restore_tree
+
+        tree = restore_tree(ckpt)
+        variables = {
+            "params": _restore_like(variables["params"], tree["params"]),
+            "batch_stats": _restore_like(
+                variables["batch_stats"], tree["batch_stats"]
+            ),
+        }
 
     @jax.jit
     def image_to_grid(variables, rgb):

@@ -194,3 +194,45 @@ def test_displacement_axes(rng):
     np.testing.assert_allclose(np.asarray(d1[:, 15:20]), np.asarray(p[1]) - 0.0722, rtol=1e-5)
     # copies 5,6 displace axis 2 only
     np.testing.assert_allclose(np.asarray(d2[:, 30:35]), np.asarray(p[2]) + 0.0722, rtol=1e-5)
+
+
+def test_smooth_voxels_matches_conv_reference():
+    """The banded-matmul blur must equal the direct 1-D convolution
+    formulation (reference model/projection.py:102-117) to float32 accuracy,
+    including even kernel sizes and gradients through sigma."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 9, 7, 8)), dtype=jnp.float32)
+
+    def conv_blur(vox, kernels):
+        y = vox[..., None]
+        for axis, kern in enumerate(kernels):
+            k = kern.shape[0]
+            shape = [1, 1, 1, 1, 1]
+            shape[axis] = k
+            rhs = kern.reshape(shape).astype(y.dtype)
+            pad = [(0, 0)] * 3
+            pad[axis] = (k // 2, (k - 1) // 2)
+            y = jax.lax.conv_general_dilated(
+                y, rhs, (1, 1, 1), pad,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return jnp.clip(y[..., 0], 0.0, 1.0)
+
+    for ks in ((3, 3, 3), (5, 3, 4)):
+        sigma = jnp.asarray([1.5, 0.9, 1.2])
+        kernels = gaussian_kernels_1d(sigma, ks)
+        np.testing.assert_allclose(
+            np.asarray(smooth_voxels(x, kernels)),
+            np.asarray(conv_blur(x, kernels)),
+            rtol=1e-6, atol=1e-6,
+        )
+
+    # gradient w.r.t. sigma flows through the banded matrices
+    def loss(sigma):
+        return jnp.sum(smooth_voxels(x, gaussian_kernels_1d(sigma, (3, 3, 3))))
+
+    g = jax.grad(loss)(jnp.asarray([1.5, 1.5, 1.5]))
+    assert np.all(np.isfinite(np.asarray(g))) and np.any(np.asarray(g) != 0)
