@@ -89,7 +89,13 @@ def _lattice_sweep_sharded_fn(
 
 
 @lru_cache(maxsize=64)
-def _points_query_fn(model: IFNet):
+def _points_query_fn(model: IFNet, use_pallas: bool):
+    if use_pallas:
+        return jax.jit(
+            lambda v, lv, p: jax.nn.sigmoid(
+                model.apply(v, lv, p, method=IFNet.query_fused)
+            )
+        )
     return jax.jit(
         lambda v, lv, p: jax.nn.sigmoid(model.apply(v, lv, p, method=IFNet.query))
     )
@@ -162,11 +168,18 @@ def evaluate_points(
     points: np.ndarray,
     tile_points: int = 65536,
     mesh=None,
+    use_pallas: bool | None = None,
 ) -> np.ndarray:
-    """Sigmoid-occupancy at ARBITRARY points (M, 3) in [-0.5, 0.5] via the
-    gather path, tiled at a fixed shape; points may be sharded over "sp"."""
+    """Sigmoid-occupancy at ARBITRARY points (M, 3) in [-0.5, 0.5], tiled at
+    a fixed shape; points may be sharded over "sp".
+
+    use_pallas (default: auto — True on TPU) routes through the MXU-fused
+    bucketed interpolation kernel (IFNet.query_fused) instead of XLA gathers;
+    bf16 compute, inference-grade (~1e-2 relative logit tolerance)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and mesh is None
     levels = _encode_fn(model)(variables, grid)
-    query = _points_query_fn(model)
+    query = _points_query_fn(model, use_pallas and mesh is None)
 
     pts = np.asarray(points, dtype=np.float32)
     m = pts.shape[0]

@@ -189,6 +189,81 @@ class IFNet(nn.Module):
         h = jnp.einsum("hf,bfn->bhn", self.fc0_kernel, f) + self.fc0_bias[None, :, None]
         return self._mlp_tail(h)
 
+    def query_fused(
+        self, levels: Pyramid, points: jnp.ndarray, interpret: bool | None = None,
+        tile: int | None = None,
+    ) -> jnp.ndarray:
+        """MXU-fused arbitrary-point query (Pallas; inference fast path).
+
+        Same semantics as query() but routed through the bucketed slab-matmul
+        kernel (sv3d_tpu/ops/pallas/point_query.py): queries are counting-
+        bucketed by axis-0 slab, each pyramid level is interpolated with two
+        MXU contractions per displacement copy, and the decoder MLP runs on
+        the padded layout with fc0's columns permuted from displacement-major
+        to the kernel's level-major feature order.  Compute is bfloat16 with
+        float32 accumulation (~1e-2 relative feature error vs query()); use
+        for INFERENCE — training keeps query()'s exact float32 autodiff.
+        """
+        from sv3d_tpu.ops.pallas.point_query import (
+            bucket_queries,
+            default_interpret,
+            level_features,
+        )
+
+        cfg = self.config
+        if interpret is None:
+            interpret = default_interpret()
+        b, n, _ = points.shape
+        if tile is None:
+            # small query sets: minimize bucket padding; large: fatter matmuls
+            tile = 128 if n <= 16384 else 512
+        p0, p1, p2 = (2.0 * points[..., i] for i in range(3))
+        g0_fine = levels.dims[0][0]
+        q0, q1, q2, pos, tile_slab = bucket_queries(
+            p0, p1, p2, g0_fine, cfg.align_corners, tile=tile
+        )
+
+        feats = []
+        for (flat, dims), c in zip(levels, cfg.feature_channels):
+            vol = jnp.moveaxis(flat.reshape(b, c, *dims), 1, -1)
+            feats.append(
+                level_features(
+                    vol, q0, q1, q2, tile_slab, dims, g0_fine,
+                    cfg.align_corners, cfg.displacement, tile=tile,
+                    interpret=interpret,
+                )
+            )
+        f = jnp.concatenate(feats, axis=-1)  # (B, P, sum 7*C_l), level-major
+
+        # permute fc0 columns from displacement-major (d*sumC + c_global) to
+        # the kernel's level-major order (off_l + d*C_l + c)
+        chans = self.config.feature_channels
+        sum_c = sum(chans)
+        perm = []
+        off = 0
+        for li, c in enumerate(chans):
+            cg = sum(chans[:li])
+            for d in range(7):
+                for cc in range(c):
+                    perm.append(d * sum_c + cg + cc)
+            off += 7 * c
+        w0 = self.fc0_kernel[:, jnp.asarray(np.asarray(perm, np.int32))]
+
+        h = jnp.einsum(
+            "hf,bpf->bph", w0.astype(jnp.bfloat16), f.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) + self.fc0_bias[None, None, :]
+        h = nn.relu(h)
+        for kernel, bias in zip(self.mlp_kernels[1:], self.mlp_biases[1:]):
+            h = jnp.einsum(
+                "hf,bpf->bph", kernel.astype(jnp.bfloat16),
+                h.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+            ) + bias[None, None, :]
+            if kernel.shape[0] > 1:
+                h = nn.relu(h)
+        logits_padded = h[..., 0]  # (B, P)
+        return jnp.take_along_axis(logits_padded, pos, axis=1)  # (B, N)
+
     def query_lattice(
         self,
         levels: Pyramid,

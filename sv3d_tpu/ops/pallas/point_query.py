@@ -1,0 +1,313 @@
+"""Pallas TPU kernel: fused multi-level trilinear feature interpolation for
+ARBITRARY query points (the gather path of IF-Net, reference
+model/ifnet.py:82-120,155-199, rebuilt MXU-first).
+
+Why not gathers?  XLA's per-index gather on TPU runs ~0.2 M pts/s through the
+IF-Net pyramid (measured, scripts/measure_step.py), and Mosaic's in-kernel
+`dynamic_gather` only spans one vreg along the gathered axis (8 sublanes / 128
+lanes) — useless for multi-MB feature volumes.  This kernel instead turns the
+interpolation into dense MXU contractions:
+
+  1. Queries are COUNTING-BUCKETED by axis-0 slab (4 fine rows per slab) into
+     a tile-padded layout — no sort, no dynamic shapes, overflow-free (the
+     padded capacity N + n_slabs*TILE is a static worst case).
+  2. Per (batch, tile) grid step, the kernel DMAs the slab's row window of the
+     level volume into VMEM (skipped when the previous tile used the same
+     window) as a (ROWS, g1, g2*C) table.
+  3. For each of the 7 displacement copies (reference model/ifnet.py:82-91)
+     it builds the per-query axis-0/axis-1 hat-weight matrix
+     W[q, (a, b)] = hat(ix0 - row_a) * hat(ix1 - b)   (VPU, banded one-hot)
+     and contracts  pencil = W @ table  on the MXU — selecting each query's
+     (2 x 2) row-plane pencil and interpolating axes 0/1 in one matmul.
+  4. The axis-2 interpolation multiplies the pencil by the per-query k-hat
+     mask and folds k with a CONSTANT (g2*C, C) 0/1 matrix — a second matmul.
+
+Out-of-range queries (and the padding slots, parked at sentinel coordinate
+p=+2) fall out with zero weights — exactly the reference's
+grid_sample(padding_mode='zeros') semantics.  Both align_corners conventions
+are supported (reference uses True for the 32-res variant, False for 128-res).
+
+Compute runs in bfloat16 with float32 accumulation (MXU-native); max feature
+error vs the float32 XLA path is ~1e-2 relative.  This path is therefore used
+for INFERENCE (evaluate_points); training keeps the float32 XLA gather path
+and its exact autodiff.
+
+Measured on v5e (B=8, 4096 pts, IF-Net-128): see BENCH notes / tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128          # queries per grid step (MXU sublane-friendly)
+SLAB_FINE_ROWS = 4  # axis-0 rows of the FINEST level per bucket
+
+# displacement copy order of sv3d_tpu.ops.grid_sample.displacement_axes:
+# (center, -d0, +d0, -d1, +d1, -d2, +d2); entries are per-axis sign factors
+DISPLACEMENTS = (
+    (0, 0, 0), (-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1)
+)
+
+
+def _ix_affine(g: int, align_corners: bool):
+    """ix = A * p + B mapping [-1, 1] coords to continuous row index (torch
+    grid_sample conventions; see sv3d_tpu/ops/grid_sample.py:_axis_indices)."""
+    a = 0.5 * (g - 1) if align_corners else 0.5 * g
+    return a, 0.5 * (g - 1)
+
+
+def _num_slabs(g0_fine: int) -> int:
+    return max(1, -(-g0_fine // SLAB_FINE_ROWS))
+
+
+@functools.partial(jax.jit, static_argnames=("g0_fine", "align_corners", "tile"))
+def bucket_queries(p0, p1, p2, g0_fine: int, align_corners: bool, tile: int = TILE):
+    """Counting-bucket (B, N) queries by fine axis-0 slab into a tile-padded
+    layout.  Returns (q0, q1, q2) (B, P) padded coords (sentinel +2.0 in pad
+    slots), pos (B, N) padded position of each original query, tile_slab
+    (B, NT) slab id per tile.  P = N + n_slabs*tile is static."""
+    b, n = p0.shape
+    ns = _num_slabs(g0_fine)
+    cap = -(-(n + ns * tile) // tile) * tile
+    a0, b0 = _ix_affine(g0_fine, align_corners)
+    ix0 = a0 * p0 + b0
+    slab = jnp.clip(
+        jnp.floor(ix0 / SLAB_FINE_ROWS).astype(jnp.int32), 0, ns - 1
+    )  # (B, N); out-of-range queries park in edge slabs, weights vanish
+
+    onehot = (slab[..., None] == jnp.arange(ns, dtype=jnp.int32)).astype(jnp.int32)
+    csum = jnp.cumsum(onehot, axis=1)  # inclusive
+    rank = jnp.take_along_axis(csum, slab[..., None], axis=2)[..., 0] - 1  # (B, N)
+    counts = csum[:, -1, :]  # (B, ns)
+    padded = -(-counts // tile) * tile
+    starts = jnp.cumsum(padded, axis=1) - padded  # exclusive cumsum (B, ns)
+    pos = jnp.take_along_axis(starts, slab, axis=1) + rank  # (B, N)
+
+    def scatter(p):
+        out = jnp.full((b, cap), 2.0, p.dtype)
+        return jax.vmap(lambda o, ps, v: o.at[ps].set(v))(out, pos, p)
+
+    nt = cap // tile
+    # slab owning each tile: the last slab whose padded start <= tile start
+    tile_start = jnp.arange(nt, dtype=jnp.int32) * tile
+    tile_slab = jax.vmap(
+        lambda st: jnp.searchsorted(st, tile_start, side="right").astype(jnp.int32)
+        - 1
+    )(starts)
+    tile_slab = jnp.clip(tile_slab, 0, ns - 1)
+    return scatter(p0), scatter(p1), scatter(p2), pos, tile_slab
+
+
+def _level_windows(g0_fine: int, dims, align_corners: bool, displacement: float):
+    """Static numpy per-slab table windows for one level.
+
+    Returns (tab_lo (ns,), woff (ns, 3), ROWS, WROWS, dshifts (3 floats)).
+    tab_lo[s]: first volume row DMA'd for slab s; woff[s, j]: window offset
+    within the table for axis-0 displacement j-1 in {-1, 0, +1}."""
+    g0l = int(dims[0])
+    ns = _num_slabs(g0_fine)
+    af, bf = _ix_affine(g0_fine, align_corners)
+    al, bl = _ix_affine(g0l, align_corners)
+    scale = al / af
+    # level-space ix of a slab's fine-row span [s*R, (s+1)*R)
+    lo = scale * (np.arange(ns) * SLAB_FINE_ROWS - bf) + bl
+    width = scale * SLAB_FINE_ROWS
+    dsh = displacement * al  # axis-0 shift of the +/-d copies, in level rows
+    wrows = min(g0l, int(math.ceil(width)) + 3)
+    rows = min(g0l, int(math.ceil(width + 2 * dsh)) + 5)
+    tab_lo = np.clip(np.floor(lo - dsh) - 1, 0, max(g0l - rows, 0)).astype(np.int32)
+    woff = np.stack(
+        [
+            np.clip(np.floor(lo + j * dsh) - 1 - tab_lo, 0, rows - wrows)
+            for j in (-1, 0, 1)
+        ],
+        axis=1,
+    ).astype(np.int32)
+    return tab_lo, woff, rows, wrows
+
+
+def _hat(ix, rows):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(ix - rows))
+
+
+def _make_kernel(dims, c: int, g2p: int, g1p: int, rows: int, wrows: int,
+                 align_corners: bool, displacement: float, tile: int):
+    """Kernel body for one pyramid level (all shape params static)."""
+    g0, g1, g2 = (int(d) for d in dims)
+    a0, b0 = _ix_affine(g0, align_corners)
+    a1, b1 = _ix_affine(g1, align_corners)
+    a2, b2 = _ix_affine(g2, align_corners)
+    dsh = (displacement * a0, displacement * a1, displacement * a2)
+
+    def kernel(base_ref, woff_ref, vol_ref, q0_ref, q1_ref, q2_ref, fold_ref,
+               out_ref, tab_ref, state_ref, sem):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        base = base_ref[bi, ti]
+
+        @pl.when(jnp.logical_and(ti == 0, bi == 0))
+        def _():
+            state_ref[0] = -1
+            state_ref[1] = -1
+
+        # DMA the slab's row window unless the previous tile already loaded it
+        @pl.when(jnp.logical_or(state_ref[0] != base, state_ref[1] != bi))
+        def _():
+            dma = pltpu.make_async_copy(
+                vol_ref.at[bi, pl.ds(base, rows)], tab_ref, sem
+            )
+            dma.start()
+            dma.wait()
+            state_ref[0] = base
+            state_ref[1] = bi
+
+        # query coords for this tile: (T, 1) column vectors
+        p0 = q0_ref[0]  # (T, 1)
+        p1 = q1_ref[0]
+        p2 = q2_ref[0]
+        ix0 = a0 * p0 + b0
+        ix1 = a1 * p1 + b1
+        ix2 = a2 * p2 + b2
+
+        # lane iotas reused across displacement copies
+        ab = jax.lax.broadcasted_iota(jnp.int32, (tile, wrows * g1p), 1)
+        arow = (ab // g1p).astype(jnp.float32)
+        bcol = (ab % g1p).astype(jnp.float32)
+        kidx = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile, g2p), 1) // c
+        ).astype(jnp.float32)
+        kvalid = kidx < float(g2)  # g2*C padded up to a lane multiple
+
+        fold = fold_ref[:, :]  # (g2p, c) constant 0/1 bf16
+        for d, (s0, s1, s2) in enumerate(DISPLACEMENTS):
+            woff = woff_ref[bi, s0 + 1, ti]
+            dix0 = ix0 + s0 * dsh[0]
+            dix1 = ix1 + s1 * dsh[1]
+            dix2 = ix2 + s2 * dsh[2]
+            # W[q, (a, b)] over the static (wrows, g1) window at dynamic woff
+            rows_abs = (base + woff).astype(jnp.float32) + arow
+            w = _hat(dix0, rows_abs) * _hat(dix1, bcol)  # (T, wrows*g1)
+            tab = tab_ref[pl.ds(woff, wrows)]  # (wrows, g1p, g2p)
+            pencil = jax.lax.dot_general(
+                w.astype(jnp.bfloat16),
+                tab.reshape(wrows * g1p, g2p),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (T, g2p)
+            h2 = jnp.where(kvalid, _hat(dix2, kidx), 0.0)
+            feat = jax.lax.dot_general(
+                (pencil * h2).astype(jnp.bfloat16),
+                fold,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (T, c)
+            out_ref[0, :, d * c : (d + 1) * c] = feat
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "align_corners", "displacement", "g0_fine",
+                     "tile", "interpret"),
+)
+def level_features(
+    vol: jnp.ndarray,
+    q0: jnp.ndarray,
+    q1: jnp.ndarray,
+    q2: jnp.ndarray,
+    tile_slab: jnp.ndarray,
+    dims: tuple,
+    g0_fine: int,
+    align_corners: bool,
+    displacement: float,
+    tile: int = TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Interpolate one pyramid level at bucketed queries.
+
+    vol: (B, g0, g1, g2, C) float volume; q*: (B, P) padded coords from
+    bucket_queries; tile_slab: (B, NT).  Returns (B, P, 7*C) float32 features
+    in displacement-major-within-level order.
+    """
+    b, g0, g1, g2, c = vol.shape
+    p = q0.shape[1]
+    nt = p // tile
+    g2c = g2 * c
+    g2p = -(-g2c // 128) * 128  # pad the (k, c) lane axis to the vreg width
+    g1p = -(-g1 // 8) * 8  # pad axis 1 to the sublane tiling (DMA alignment);
+    # padded rows are zero, and zero data kills any stray hat weight
+
+    tab_lo, woff_np, rows, wrows = _level_windows(
+        g0_fine, dims, align_corners, displacement
+    )
+    tile_base = jnp.asarray(tab_lo)[tile_slab]  # (B, NT)
+    # (B, 3, NT): the tiny axis leads so SMEM tiling pads (3, NT), not (NT, 128)
+    tile_woff = jnp.moveaxis(jnp.asarray(woff_np)[tile_slab], -1, 1)
+
+    volp = vol.astype(jnp.bfloat16).reshape(b, g0, g1, g2c)
+    if g2p != g2c or g1p != g1:
+        volp = jnp.pad(
+            volp, ((0, 0), (0, 0), (0, g1p - g1), (0, g2p - g2c))
+        )
+    # lane index k*C + c (k-major): stack g2 identity blocks
+    fold = jnp.asarray(
+        np.tile(np.eye(c, dtype=np.float32), (g2, 1)), jnp.bfloat16
+    )
+    fold = jnp.pad(fold, ((0, g2p - g2c), (0, 0)))
+
+    kernel = _make_kernel(
+        dims, c, g2p, g1p, rows, wrows, align_corners, displacement, tile
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tile_base, tile_woff
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # volume (DMA'd manually)
+            pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fold matrix
+        ],
+        out_specs=pl.BlockSpec((1, tile, 7 * c), lambda bi, ti, *_: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, g1p, g2p), jnp.bfloat16),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, p, 7 * c), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p * 7 * (wrows * g1 + g2c) * max(c, 1),
+            bytes_accessed=b * nt * rows * g1 * g2p * 2 + b * p * 7 * c * 4,
+            transcendentals=0,
+        ),
+    )(
+        tile_base,
+        tile_woff,
+        volp,
+        q0[..., None],
+        q1[..., None],
+        q2[..., None],
+        fold,
+    )
+    return out
+
+
+def default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
