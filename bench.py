@@ -99,6 +99,34 @@ def bench_points():
     return n_points / min(times)
 
 
+def bench_arbitrary_points():
+    """ARBITRARY-point (non-lattice) query throughput via the MXU-fused
+    Pallas kernel (IFNet.query_fused) — the reference's grid_sample gather
+    path analog (reference model/ifnet.py:82-120); XLA gathers measure
+    ~0.2M points/s on the same workload."""
+    from sv3d_tpu.config import IFNetConfig
+    from sv3d_tpu.inference.dense_grid import evaluate_points
+    from sv3d_tpu.models.ifnet import IFNet
+
+    model = IFNet(IFNetConfig.for_net_res(128))
+    rng = jax.random.PRNGKey(0)
+    grid = (jax.random.uniform(rng, (1, *DIMS, 1)) > 0.97).astype(jnp.float32)
+    variables = model.init(rng, grid, jnp.zeros((1, 8, 3)), train=False)
+    n = 262144
+    pts = np.asarray(
+        jax.random.uniform(rng, (n, 3), jnp.float32, -0.45, 0.45)
+    )
+    use_pallas = jax.default_backend() == "tpu"
+    evaluate_points(model, variables, grid, pts, use_pallas=use_pallas)  # warm
+    rt = _roundtrip_cost()
+    times = []
+    for _ in range(N_TIMED):
+        t0 = time.perf_counter()
+        evaluate_points(model, variables, grid, pts, use_pallas=use_pallas)
+        times.append(time.perf_counter() - t0 - rt)
+    return n / min(times)
+
+
 def bench_scene():
     """Warm image->mesh latency of the full SceneNet pipeline (one scene).
 
@@ -191,6 +219,7 @@ def bench_scene():
 
 def main():
     pps = bench_points()
+    arb_pps = bench_arbitrary_points()
     scene_s, device_s, mc_s = bench_scene()
     print(
         json.dumps(
@@ -203,6 +232,7 @@ def main():
                 "sec_per_scene_device": round(device_s, 3),
                 "sec_per_scene_marching_cubes": round(mc_s, 3),
                 "sec_per_scene_vs_baseline": round(BASELINE_SEC_PER_SCENE / scene_s, 3),
+                "arbitrary_points_per_sec": round(arb_pps, 1),
                 "note": "baselines are FLOP-argument estimates for the reference on V100 (1.0M pts/s; 15 s/scene at the same 12.95M-point resolution), not measurements",
             }
         )

@@ -59,6 +59,15 @@ def main():
     f_scatter = lambda p: scatter(p)[0, 0, 0, 0].item()
     print(f"scatter_voxels  (B={B}, 76800 pts): {timeit(f_scatter, pts_vox)*1e3:8.2f} ms")
 
+    from sv3d_tpu.ops.pallas.voxelize import scatter_voxels_pallas
+
+    scp = jax.jit(lambda p: scatter_voxels_pallas(p, DIMS))
+    f_scp = lambda p: scp(p)[0, 0, 0, 0].item()
+    print(f"scatter pallas  (B={B}, 76800 pts): {timeit(f_scp, pts_vox)*1e3:8.2f} ms")
+    g_scp = jax.jit(jax.grad(lambda p: jnp.sum(scatter_voxels_pallas(p, DIMS) ** 2)))
+    f_gscp = lambda p: g_scp(p)[0, 0, 0].item()
+    print(f"scatter pallas grad (B={B}):        {timeit(f_gscp, pts_vox)*1e3:8.2f} ms")
+
     vox_full = jax.jit(lambda p, s: voxelize(p, DIMS, s, (3, 3, 3)))
     f_vox = lambda p, s: vox_full(p, s)[0, 0, 0, 0, 0].item()
     print(f"voxelize full   (B={B}, 76800 pts): {timeit(f_vox, pts_vox, sigma)*1e3:8.2f} ms")
@@ -105,21 +114,29 @@ def main():
     from sv3d_tpu.training.state import create_train_state
     from sv3d_tpu.training.trainer_scene_net import make_train_step
 
-    cfg = Config(seed=0, num_points=2048, batch_size=B, net_res=128)
-    frustum = FrustumGrid.create(_INTRINSICS, voxel_size=0.05)
-    snet = SceneNet(cfg, _INTRINSICS, frustum)
-    rgb = jax.random.uniform(rng, (B, 240, 320, 3), jnp.float32, -1, 1)
-    depth_t = jnp.full((B, 240, 320), 2.0)
-    occ = (jax.random.uniform(rng, (B, N_POINTS)) > 0.5).astype(jnp.float32)
-    svars = snet.init(jax.random.PRNGKey(2), rgb[:1], depth_t[:1], pts_q[:1], train=False)
-    state = create_train_state(snet, svars, build_optimizer(1e-4, svars["params"]))
-    step = make_train_step(snet, cfg)
+    # full-scale f32 at B=8 needs ~17 GB (XLA keeps (...,16) conv cotangents
+    # in an 8x lane-padded layout) — measure the configs that fit a 16 GB v5e:
+    # f32 at B=4, bf16 (--precision 16) at B=8
+    for bsz, precision in ((4, 32), (8, 16)):
+        cfg = Config(seed=0, num_points=2048, batch_size=bsz, net_res=128,
+                     precision=precision)
+        frustum = FrustumGrid.create(_INTRINSICS, voxel_size=0.05)
+        snet = SceneNet(cfg, _INTRINSICS, frustum)
+        rgb = jax.random.uniform(rng, (bsz, 240, 320, 3), jnp.float32, -1, 1)
+        depth_t = jnp.full((bsz, 240, 320), 2.0)
+        pts_b = pts_q[:bsz]
+        occ = (jax.random.uniform(rng, (bsz, N_POINTS)) > 0.5).astype(jnp.float32)
+        svars = snet.init(jax.random.PRNGKey(2), rgb[:1], depth_t[:1], pts_b[:1], train=False)
+        state = create_train_state(snet, svars, build_optimizer(1e-4, svars["params"]))
+        step = make_train_step(snet, cfg)
 
-    def f_step(state, rgb, depth_t, p, occ):
-        s2, m = step(state, rgb, depth_t, p, occ, jax.random.PRNGKey(3))
-        return m["train_loss"].item()
+        def f_step(state, rgb, depth_t, p, occ):
+            s2, m = step(state, rgb, depth_t, p, occ, jax.random.PRNGKey(3))
+            return m["train_loss"].item()
 
-    print(f"train step      (B={B}):            {timeit(f_step, state, rgb, depth_t, pts_q, occ)*1e3:8.2f} ms")
+        dt = timeit(f_step, state, rgb, depth_t, pts_b, occ)
+        print(f"train step      (B={bsz}, f{precision}):    {dt*1e3:8.2f} ms"
+              f"  ({bsz/dt:.1f} samples/s)")
 
 
 if __name__ == "__main__":

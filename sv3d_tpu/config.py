@@ -61,6 +61,10 @@ class IFNetConfig:
     net_res: int = 128          # 128 or 32 feature-pyramid variant
     hidden_dim: int = 256
     displacement: float = 0.0722  # 0.035 for the 32-res variant
+    #: route training/eval queries through the MXU-fused Pallas kernels
+    #: (bf16 compute with f32 accumulation — a mixed-precision mode; the
+    #: default XLA gather path is exact f32)
+    fused_query: bool = False
 
     @property
     def feature_channels(self) -> tuple:
@@ -78,9 +82,14 @@ class IFNetConfig:
         return self.net_res == 32
 
     @staticmethod
-    def for_net_res(net_res: int, hidden_dim: int = 256) -> "IFNetConfig":
+    def for_net_res(
+        net_res: int, hidden_dim: int = 256, fused_query: bool = False
+    ) -> "IFNetConfig":
         disp = 0.0722 if net_res == 128 else 0.035
-        return IFNetConfig(net_res=net_res, hidden_dim=hidden_dim, displacement=disp)
+        return IFNetConfig(
+            net_res=net_res, hidden_dim=hidden_dim, displacement=disp,
+            fused_query=fused_query,
+        )
 
 
 @dataclass(frozen=True)
@@ -108,6 +117,7 @@ class Config:
     skip_unet: bool = False
     no_depth_sup: bool = False
     subsample_points: int = 0
+    fused_query: bool = False     # Pallas MXU query path in training (TPU)
 
     # training
     lr: float = 1e-4
@@ -137,6 +147,13 @@ class Config:
         object.__setattr__(self, "sigma", _triple(tuple(self.sigma)))
         if self.seed == -1:
             object.__setattr__(self, "seed", random.randint(0, 999))
+        if self.fused_query and self.precision == 16:
+            # the fused kernels are already bf16 inside (f32 interface);
+            # stacking module-level bf16 on top trips cotangent dtypes
+            raise ValueError(
+                "fused_query already runs bf16 compute internally; use it "
+                "with precision=32 (the float32 interface)"
+            )
 
     @property
     def dims(self) -> tuple:
@@ -157,7 +174,7 @@ class Config:
         )
 
     def ifnet(self) -> IFNetConfig:
-        return IFNetConfig.for_net_res(self.net_res)
+        return IFNetConfig.for_net_res(self.net_res, fused_query=self.fused_query)
 
     def experiment_dir(self, timestamp: bool = True) -> Path:
         name = self.experiment

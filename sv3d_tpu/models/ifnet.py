@@ -78,10 +78,6 @@ _point_conv_init = nn.initializers.variance_scaling(
 )
 
 
-def _maxpool2(x):
-    return nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
-
-
 class IFNet(nn.Module):
     """Multi-scale implicit occupancy network.
 
@@ -97,22 +93,27 @@ class IFNet(nn.Module):
     def setup(self):
         cfg = self.config
         dt = self.dtype
+        # remat each conv stage: the full-res low-channel activations live in
+        # lane-padded layouts on TPU (C=16 pads 8x to the 128-lane tile) and
+        # holding them for the backward pass OOM'd B=8 full-scale train steps;
+        # recomputing them is far cheaper than 6 GB of padded HBM residency
+        block = nn.remat(_ConvBlock, static_argnums=(2,))
         if cfg.net_res == 128:
             # reference model/ifnet.py:126-142
             self.stages = [
-                _ConvBlock([16], dt),
-                _ConvBlock([32, 32], dt),
-                _ConvBlock([64, 64], dt),
-                _ConvBlock([128, 128], dt),
-                _ConvBlock([128, 128], dt),
+                block([16], dt),
+                block([32, 32], dt),
+                block([64, 64], dt),
+                block([128, 128], dt),
+                block([128, 128], dt),
             ]
             hidden = (cfg.hidden_dim, cfg.hidden_dim, cfg.hidden_dim)
         elif cfg.net_res == 32:
             # reference model/ifnet.py:69-80
             self.stages = [
-                _ConvBlock([32, 64], dt),
-                _ConvBlock([128, 128], dt),
-                _ConvBlock([128, 128], dt),
+                block([32, 64], dt),
+                block([128, 128], dt),
+                block([128, 128], dt),
             ]
             hidden = (cfg.hidden_dim * 2, cfg.hidden_dim, cfg.hidden_dim)
         else:
@@ -154,9 +155,20 @@ class IFNet(nn.Module):
         x = grid
         for i, stage in enumerate(self.stages):
             x = stage(x, train)
-            levels.append(flatten_grid(x))
+            flat, dims = flatten_grid(x)
+            levels.append((flat, dims))
             if i < len(self.stages) - 1:
-                x = _maxpool2(x)
+                # pool from the CHANNEL-MAJOR copy, not the NDHWC activation:
+                # this leaves the (..., C) tensor a single consumer, so its
+                # backward produces ONE lane-padded cotangent instead of the
+                # padded select_and_scatter + transpose pair (6.2 GB each at
+                # B=8 full scale — the difference between fitting and OOM)
+                b, c = flat.shape[:2]
+                pooled = jax.lax.reduce_window(
+                    flat.reshape(b, c, *dims), -jnp.inf, jax.lax.max,
+                    (1, 1, 2, 2, 2), (1, 1, 2, 2, 2), "VALID",
+                )
+                x = jnp.moveaxis(pooled, 1, -1)
         return Pyramid([f for f, _ in levels], [d for _, d in levels])
 
     def _mlp_tail(self, h: jnp.ndarray) -> jnp.ndarray:
@@ -207,16 +219,15 @@ class IFNet(nn.Module):
         from sv3d_tpu.ops.pallas.point_query import (
             bucket_queries,
             default_interpret,
-            level_features,
         )
+        from sv3d_tpu.ops.pallas.point_query_bwd import level_features_diff
 
         cfg = self.config
         if interpret is None:
             interpret = default_interpret()
         b, n, _ = points.shape
         if tile is None:
-            # small query sets: minimize bucket padding; large: fatter matmuls
-            tile = 128 if n <= 16384 else 512
+            tile = 128  # measured flat vs 256 at 65k pts; 512 exceeds VMEM
         p0, p1, p2 = (2.0 * points[..., i] for i in range(3))
         g0_fine = levels.dims[0][0]
         q0, q1, q2, pos, tile_slab = bucket_queries(
@@ -227,10 +238,9 @@ class IFNet(nn.Module):
         for (flat, dims), c in zip(levels, cfg.feature_channels):
             vol = jnp.moveaxis(flat.reshape(b, c, *dims), 1, -1)
             feats.append(
-                level_features(
+                level_features_diff(
                     vol, q0, q1, q2, tile_slab, dims, g0_fine,
-                    cfg.align_corners, cfg.displacement, tile=tile,
-                    interpret=interpret,
+                    cfg.align_corners, cfg.displacement, tile, interpret,
                 )
             )
         f = jnp.concatenate(feats, axis=-1)  # (B, P, sum 7*C_l), level-major
@@ -353,7 +363,10 @@ class IFNet(nn.Module):
         return logits.reshape(-1, slab_rows, r[1], r[2])
 
     def __call__(self, grid: jnp.ndarray, points: jnp.ndarray, train: bool = True):
-        return self.query(self.encode(grid, train), points)
+        levels = self.encode(grid, train)
+        if self.config.fused_query:
+            return self.query_fused(levels, points)
+        return self.query(levels, points)
 
     @property
     def feature_size(self) -> int:

@@ -13,6 +13,7 @@ in sv3d_tpu.geometry.transforms; this module owns only the learnable part.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from sv3d_tpu.config import ProjectionConfig
@@ -21,6 +22,11 @@ from sv3d_tpu.ops.voxelize import gaussian_kernels_1d, scatter_voxels, smooth_vo
 
 class Projection(nn.Module):
     config: ProjectionConfig = ProjectionConfig()
+    #: None = auto (Pallas scatter kernel on TPU, XLA scatter elsewhere).
+    #: The fused kernel (ops/pallas/voxelize.py) is f32-exact and ~an order
+    #: of magnitude faster than XLA's per-index scatter on the 76,800-point
+    #: back-projection; it also avoids the scatter's large HBM temps.
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, point_cloud: jnp.ndarray) -> jnp.ndarray:
@@ -31,7 +37,15 @@ class Projection(nn.Module):
             "sigma",
             lambda _key: jnp.asarray(cfg.init_sigma, dtype=jnp.float32),
         )
-        vox = scatter_voxels(point_cloud, cfg.dims)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from sv3d_tpu.ops.pallas.voxelize import scatter_voxels_pallas
+
+            vox = scatter_voxels_pallas(point_cloud, cfg.dims)
+        else:
+            vox = scatter_voxels(point_cloud, cfg.dims)
         smoothed = smooth_voxels(
             vox, gaussian_kernels_1d(sigma, cfg.kernel_size)
         )

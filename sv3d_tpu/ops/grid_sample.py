@@ -97,7 +97,10 @@ def flatten_grid(grid: jnp.ndarray):
     if grid.ndim == 3:
         raise ValueError("already flat; pass (flat, dims) to sample_trilinear_flat")
     b, g0, g1, g2, c = grid.shape
-    flat = jnp.moveaxis(grid.reshape(b, g0 * g1 * g2, c), -1, 1)
+    # transpose FIRST: reshaping (B, G, C) with tiny minor C would pin an
+    # (8, 128)-tile layout that lane-pads C (measured 8x HBM blowup / OOM on
+    # the full-res 16-channel level at B=8); (B, C, G) keeps G on lanes
+    flat = jnp.moveaxis(grid, -1, 1).reshape(b, c, g0 * g1 * g2)
     return flat, (g0, g1, g2)
 
 

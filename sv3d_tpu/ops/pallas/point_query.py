@@ -86,7 +86,9 @@ def bucket_queries(p0, p1, p2, g0_fine: int, align_corners: bool, tile: int = TI
     csum = jnp.cumsum(onehot, axis=1)  # inclusive
     rank = jnp.take_along_axis(csum, slab[..., None], axis=2)[..., 0] - 1  # (B, N)
     counts = csum[:, -1, :]  # (B, ns)
-    padded = -(-counts // tile) * tile
+    # every slab gets at least one tile so consumers that write per-slab
+    # output blocks (ops/pallas/voxelize.py) always initialize every block
+    padded = jnp.maximum(-(-counts // tile), 1) * tile
     starts = jnp.cumsum(padded, axis=1) - padded  # exclusive cumsum (B, ns)
     pos = jnp.take_along_axis(starts, slab, axis=1) + rank  # (B, N)
 
@@ -270,7 +272,7 @@ def level_features(
         num_scalar_prefetch=2,  # tile_base, tile_woff
         grid=(b, nt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # volume (DMA'd manually)
+            pl.BlockSpec(memory_space=pl.ANY),  # volume (DMA'd manually)
             pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
@@ -292,6 +294,9 @@ def level_features(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, p, 7 * c), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * p * 7 * (wrows * g1 + g2c) * max(c, 1),
             bytes_accessed=b * nt * rows * g1 * g2p * 2 + b * p * 7 * c * 4,

@@ -67,12 +67,11 @@ class ImplicitRefinementTrainer(BaseTrainer):
 
     def build_state(self, rng_key):
         dims = self.config.dims
-        variables = self.model.init(
-            rng_key,
-            jnp.zeros((1, *dims, 1)),
-            jnp.zeros((1, 8, 3)),
-            train=False,
-        )
+        variables = jax.jit(
+            lambda k: self.model.init(
+                k, jnp.zeros((1, *dims, 1)), jnp.zeros((1, 8, 3)), train=False
+            )
+        )(rng_key)
         tx = build_optimizer(self.config.lr, variables["params"])
         return create_train_state(self.model, variables, tx)
 

@@ -159,10 +159,14 @@ class SceneNetTrainer(BaseTrainer):
             rgb = jnp.zeros((1, 240, 320, 3))
         depth_t = jnp.full((1, 240, 320), 2.0)
         pts = jnp.zeros((1, 8, 3))
-        variables = self.model.init(
-            rng_key, rgb, depth_t, pts, train=False,
-            subsample_rng=jax.random.PRNGKey(0),
-        )
+        # jit the init: eager flax init dispatches op-by-op (minutes through
+        # a tunneled TPU); jitted it is one compiled program
+        variables = jax.jit(
+            lambda k: self.model.init(
+                k, rgb, depth_t, pts, train=False,
+                subsample_rng=jax.random.PRNGKey(0),
+            )
+        )(rng_key)
         tx = build_optimizer(cfg.lr, variables["params"])
         state = create_train_state(self.model, variables, tx)
         if cfg.pretrain_unet:

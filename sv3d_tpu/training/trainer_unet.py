@@ -83,7 +83,9 @@ class DepthRegressorTrainer(BaseTrainer):
         h = w = self.config.W
         if not self.config.resize_input:
             h, w = 240, 320
-        variables = self.model.init(rng_key, jnp.zeros((1, h, w, 3)), train=False)
+        variables = jax.jit(
+            lambda k: self.model.init(k, jnp.zeros((1, h, w, 3)), train=False)
+        )(rng_key)
         tx = build_optimizer(self.config.lr, variables["params"])
         return create_train_state(self.model, variables, tx)
 
