@@ -117,12 +117,13 @@ def bench_arbitrary_points():
         jax.random.uniform(rng, (n, 3), jnp.float32, -0.45, 0.45)
     )
     use_pallas = jax.default_backend() == "tpu"
-    evaluate_points(model, variables, grid, pts, use_pallas=use_pallas)  # warm
+    kw = dict(tile_points=n, use_pallas=use_pallas)  # one tile: no per-chunk
+    evaluate_points(model, variables, grid, pts, **kw)  # host roundtrips; warm
     rt = _roundtrip_cost()
     times = []
     for _ in range(N_TIMED):
         t0 = time.perf_counter()
-        evaluate_points(model, variables, grid, pts, use_pallas=use_pallas)
+        evaluate_points(model, variables, grid, pts, **kw)
         times.append(time.perf_counter() - t0 - rt)
     return n / min(times)
 

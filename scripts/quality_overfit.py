@@ -38,6 +38,8 @@ def main():
     )
     p.add_argument("--pretrain_unet", default=None)
     p.add_argument("--precision", type=int, default=32)
+    p.add_argument("--fused_query", action="store_true",
+                   help="train through the Pallas MXU query kernels")
     args = p.parse_args()
 
     if args.cpu:
@@ -62,6 +64,7 @@ def main():
         skip_unet=not args.use_unet,
         pretrain_unet=args.pretrain_unet,
         precision=args.precision,
+        fused_query=args.fused_query,
         scale_factor=1,
         num_points=args.num_points,
         batch_size=1,
@@ -117,6 +120,7 @@ def main():
     metrics = eval_mesh(pred, gt, -0.5, 0.5, n_points=args.eval_points)
     result = {
         "steps": args.steps,
+        "fused_query": bool(args.fused_query),
         "train_seconds": round(train_s, 1),
         "steps_per_sec": round(args.steps / train_s, 3),
         "mesh_seconds": round(mesh_s, 2),

@@ -122,6 +122,10 @@ class Config:
     # training
     lr: float = 1e-4
     batch_size: int = 16
+    #: >1 = gradient accumulation: the batch is split into this many
+    #: microbatches scanned sequentially (grads averaged, one optimizer
+    #: step) — full-scale f32 batches beyond HBM train unchanged.
+    accum_steps: int = 1
     max_epoch: int = 100
     save_epoch: int = 1
     seed: int = -1

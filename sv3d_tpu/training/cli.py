@@ -21,6 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_epoch", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation microbatches per step")
     p.add_argument("--experiment", type=str, default="scenes_net")
     p.add_argument("--seed", type=int, default=-1)
     p.add_argument("--W", type=int, default=256)
@@ -42,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip_unet", action="store_true")
     p.add_argument("--no_depth_sup", action="store_true")
     p.add_argument("--test", type=str, default=None)
+    p.add_argument(
+        "--fused_query", action="store_true",
+        help="train through the Pallas MXU point-query kernels (bf16 "
+        "compute, f32 accumulation; ~1.9x faster full-scale train step)",
+    )
     # parallelism (new)
     p.add_argument("--dp", type=int, default=1, help="data-parallel mesh size")
     p.add_argument("--sp", type=int, default=1, help="point-sharding mesh size")

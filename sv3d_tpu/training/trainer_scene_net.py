@@ -61,11 +61,13 @@ def scene_losses(config: Config, logits, occupancies, depth, depth_target, param
 
 
 def make_train_step(model: SceneNet, config: Config):
-    @jax.jit
-    def step(state: TrainState, rgb, depth_target, points, occupancies, rng_key):
+    accum = max(int(getattr(config, "accum_steps", 1)), 1)
+
+    def loss_and_grads(params, batch_stats, rgb, depth_target, points,
+                       occupancies, rng_key):
         def loss_fn(params):
             (logits, depth, _pc), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 rgb, depth_target, points,
                 train=True, subsample_rng=rng_key,
                 mutable=["batch_stats"],
@@ -75,9 +77,45 @@ def make_train_step(model: SceneNet, config: Config):
             )
             return train_loss, (metrics, mutated)
 
-        (_, (metrics, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return grads, aux
+
+    @jax.jit
+    def step(state: TrainState, rgb, depth_target, points, occupancies, rng_key):
+        if accum == 1:
+            grads, (metrics, mutated) = loss_and_grads(
+                state.params, state.batch_stats, rgb, depth_target, points,
+                occupancies, rng_key,
+            )
+        else:
+            # gradient accumulation: scan over microbatches of the leading
+            # axis, average grads, apply once.  Lets full-scale f32 batches
+            # that exceed HBM (e.g. B=8 on a 16 GB chip) train at the same
+            # effective batch size.  BatchNorm batch statistics come from
+            # each microbatch in sequence (the final mutated stats win) —
+            # the standard accumulation caveat.
+            def split(x):
+                b = x.shape[0]
+                return x.reshape(accum, b // accum, *x.shape[1:])
+
+            mb = jax.tree.map(split, (rgb, depth_target, points, occupancies))
+            keys = jax.random.split(rng_key, accum)
+
+            def body(carry, xs):
+                stats = carry
+                r, dt, pt, occ, key = xs
+                grads, (metrics, mutated) = loss_and_grads(
+                    state.params, stats, r, dt, pt, occ, key
+                )
+                return mutated["batch_stats"], (grads, metrics)
+
+            stats, (grads_stack, metrics_stack) = jax.lax.scan(
+                body, state.batch_stats, (*mb, keys)
+            )
+            grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), grads_stack)
+            metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics_stack)
+            mutated = {"batch_stats": stats}
+
         state = state.apply_gradients(grads=grads, batch_stats=mutated["batch_stats"])
         return state, {f"train_{k}" if not k.startswith("sigma") else k: v
                        for k, v in metrics.items()}

@@ -71,3 +71,24 @@ def test_occupancies_with_pc_labels(tmp_path):
     occ = trainer._occupancies_with_pc(state, batch, jax.random.PRNGKey(1))
     assert occ.shape == (1, 64 + 16)
     assert set(np.unique(occ)) <= {0.0, 1.0}
+
+
+def test_grad_accumulation_smoke(tmp_path):
+    """accum_steps=2 splits the batch into microbatches (scan), averages
+    grads, applies once — finite losses, state advances per optimizer step."""
+    from sv3d_tpu.training.trainer_scene_net import SceneNetTrainer
+
+    cfg = Config(
+        datasetdir=str(FIXTURE_DATA), splitsdir="overfit", scale_factor=8,
+        num_points=8, batch_size=2, accum_steps=2, max_epoch=1, seed=0,
+        sanity_steps=0, skip_unet=True, experiment="test_accum", net_res=32,
+        val_check_interval=1000,
+    )
+    trainer = SceneNetTrainer(cfg, experiment_dir=tmp_path / "exp")
+    state = trainer.fit(max_steps=2)
+    assert int(state.step) == 2
+    recs = [
+        json.loads(l)
+        for l in (tmp_path / "exp" / "logs" / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert np.isfinite(recs[0]["train_ce_loss"])
