@@ -230,7 +230,7 @@ class IFNet(nn.Module):
             tile = 128  # measured flat vs 256 at 65k pts; 512 exceeds VMEM
         p0, p1, p2 = (2.0 * points[..., i] for i in range(3))
         g0_fine = levels.dims[0][0]
-        q0, q1, q2, pos, tile_slab = bucket_queries(
+        q0, q1, q2, pos, tile_slab, tile_used = bucket_queries(
             p0, p1, p2, g0_fine, cfg.align_corners, tile=tile
         )
 
@@ -239,7 +239,7 @@ class IFNet(nn.Module):
             vol = jnp.moveaxis(flat.reshape(b, c, *dims), 1, -1)
             feats.append(
                 level_features_diff(
-                    vol, q0, q1, q2, tile_slab, dims, g0_fine,
+                    vol, q0, q1, q2, tile_slab, tile_used, dims, g0_fine,
                     cfg.align_corners, cfg.displacement, tile, interpret,
                 )
             )

@@ -72,7 +72,8 @@ def bucket_queries(p0, p1, p2, g0_fine: int, align_corners: bool, tile: int = TI
     """Counting-bucket (B, N) queries by fine axis-0 slab into a tile-padded
     layout.  Returns (q0, q1, q2) (B, P) padded coords (sentinel +2.0 in pad
     slots), pos (B, N) padded position of each original query, tile_slab
-    (B, NT) slab id per tile.  P = N + n_slabs*tile is static."""
+    (B, NT) slab id per tile, tile_used (B, NT) real-query count per tile.
+    P = n_slabs*tile + N rounded up is static."""
     b, n = p0.shape
     ns = _num_slabs(g0_fine)
     cap = -(-(n + ns * tile) // tile) * tile
@@ -104,7 +105,13 @@ def bucket_queries(p0, p1, p2, g0_fine: int, align_corners: bool, tile: int = TI
         - 1
     )(starts)
     tile_slab = jnp.clip(tile_slab, 0, ns - 1)
-    return scatter(p0), scatter(p1), scatter(p2), pos, tile_slab
+    # real queries in each tile (0 for pure-padding tiles — kernels skip them)
+    slab_start = jnp.take_along_axis(starts, tile_slab, axis=1)
+    slab_count = jnp.take_along_axis(counts, tile_slab, axis=1)
+    tile_used = jnp.clip(
+        slab_count - (tile_start[None, :] - slab_start), 0, tile
+    ).astype(jnp.int32)
+    return scatter(p0), scatter(p1), scatter(p2), pos, tile_slab, tile_used
 
 
 def _level_windows(g0_fine: int, dims, align_corners: bool, displacement: float):
@@ -148,8 +155,8 @@ def _make_kernel(dims, c: int, g2p: int, g1p: int, rows: int, wrows: int,
     a2, b2 = _ix_affine(g2, align_corners)
     dsh = (displacement * a0, displacement * a1, displacement * a2)
 
-    def kernel(base_ref, woff_ref, vol_ref, q0_ref, q1_ref, q2_ref, fold_ref,
-               out_ref, tab_ref, state_ref, sem):
+    def kernel(base_ref, woff_ref, used_ref, vol_ref, q0_ref, q1_ref, q2_ref,
+               fold_ref, out_ref, tab_ref, state_ref, sem):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         base = base_ref[bi, ti]
@@ -159,8 +166,22 @@ def _make_kernel(dims, c: int, g2p: int, g1p: int, rows: int, wrows: int,
             state_ref[0] = -1
             state_ref[1] = -1
 
+        # pure-padding tile: skip DMA + all 7 contractions and zero the
+        # output block (garbage would NaN-poison weight grads through the
+        # 0 * NaN products of the MLP backward over padded slots)
+        skip = used_ref[bi, ti] == 0
+
+        @pl.when(skip)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
         # DMA the slab's row window unless the previous tile already loaded it
-        @pl.when(jnp.logical_or(state_ref[0] != base, state_ref[1] != bi))
+        @pl.when(
+            jnp.logical_and(
+                jnp.logical_not(skip),
+                jnp.logical_or(state_ref[0] != base, state_ref[1] != bi),
+            )
+        )
         def _():
             dma = pltpu.make_async_copy(
                 vol_ref.at[bi, pl.ds(base, rows)], tab_ref, sem
@@ -188,29 +209,32 @@ def _make_kernel(dims, c: int, g2p: int, g1p: int, rows: int, wrows: int,
         kvalid = kidx < float(g2)  # g2*C padded up to a lane multiple
 
         fold = fold_ref[:, :]  # (g2p, c) constant 0/1 bf16
-        for d, (s0, s1, s2) in enumerate(DISPLACEMENTS):
-            woff = woff_ref[bi, s0 + 1, ti]
-            dix0 = ix0 + s0 * dsh[0]
-            dix1 = ix1 + s1 * dsh[1]
-            dix2 = ix2 + s2 * dsh[2]
-            # W[q, (a, b)] over the static (wrows, g1) window at dynamic woff
-            rows_abs = (base + woff).astype(jnp.float32) + arow
-            w = _hat(dix0, rows_abs) * _hat(dix1, bcol)  # (T, wrows*g1)
-            tab = tab_ref[pl.ds(woff, wrows)]  # (wrows, g1p, g2p)
-            pencil = jax.lax.dot_general(
-                w.astype(jnp.bfloat16),
-                tab.reshape(wrows * g1p, g2p),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (T, g2p)
-            h2 = jnp.where(kvalid, _hat(dix2, kidx), 0.0)
-            feat = jax.lax.dot_general(
-                (pencil * h2).astype(jnp.bfloat16),
-                fold,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (T, c)
-            out_ref[0, :, d * c : (d + 1) * c] = feat
+
+        @pl.when(jnp.logical_not(skip))
+        def _compute():
+            for d, (s0, s1, s2) in enumerate(DISPLACEMENTS):
+                woff = woff_ref[bi, s0 + 1, ti]
+                dix0 = ix0 + s0 * dsh[0]
+                dix1 = ix1 + s1 * dsh[1]
+                dix2 = ix2 + s2 * dsh[2]
+                # W[q, (a, b)]: the static (wrows, g1) window at dynamic woff
+                rows_abs = (base + woff).astype(jnp.float32) + arow
+                w = _hat(dix0, rows_abs) * _hat(dix1, bcol)  # (T, wrows*g1)
+                tab = tab_ref[pl.ds(woff, wrows)]  # (wrows, g1p, g2p)
+                pencil = jax.lax.dot_general(
+                    w.astype(jnp.bfloat16),
+                    tab.reshape(wrows * g1p, g2p),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (T, g2p)
+                h2 = jnp.where(kvalid, _hat(dix2, kidx), 0.0)
+                feat = jax.lax.dot_general(
+                    (pencil * h2).astype(jnp.bfloat16),
+                    fold,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (T, c)
+                out_ref[0, :, d * c : (d + 1) * c] = feat
 
     return kernel
 
@@ -226,6 +250,7 @@ def level_features(
     q1: jnp.ndarray,
     q2: jnp.ndarray,
     tile_slab: jnp.ndarray,
+    tile_used: jnp.ndarray,
     dims: tuple,
     g0_fine: int,
     align_corners: bool,
@@ -269,7 +294,7 @@ def level_features(
         dims, c, g2p, g1p, rows, wrows, align_corners, displacement, tile
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # tile_base, tile_woff
+        num_scalar_prefetch=3,  # tile_base, tile_woff, tile_used
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # volume (DMA'd manually)
@@ -305,6 +330,7 @@ def level_features(
     )(
         tile_base,
         tile_woff,
+        tile_used,
         volp,
         q0[..., None],
         q1[..., None],

@@ -73,18 +73,28 @@ def _make_points_kernel(dims, c, g2p, g1p, rows, wrows, align_corners,
                                                   displacement)
     bf = jnp.bfloat16
 
-    def kernel(base_ref, woff_ref, vol_ref, q0_ref, q1_ref, q2_ref, g_ref,
-               foldt_ref, out_ref, tab_ref, state_ref, sem):
+    def kernel(base_ref, woff_ref, used_ref, vol_ref, q0_ref, q1_ref, q2_ref,
+               g_ref, foldt_ref, out_ref, tab_ref, state_ref, sem):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         base = base_ref[bi, ti]
+        skip = used_ref[bi, ti] == 0
+
+        @pl.when(skip)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
 
         @pl.when(jnp.logical_and(ti == 0, bi == 0))
         def _():
             state_ref[0] = -1
             state_ref[1] = -1
 
-        @pl.when(jnp.logical_or(state_ref[0] != base, state_ref[1] != bi))
+        @pl.when(
+            jnp.logical_and(
+                jnp.logical_not(skip),
+                jnp.logical_or(state_ref[0] != base, state_ref[1] != bi),
+            )
+        )
         def _():
             dma = pltpu.make_async_copy(
                 vol_ref.at[bi, pl.ds(base, rows)], tab_ref, sem
@@ -109,45 +119,47 @@ def _make_points_kernel(dims, c, g2p, g1p, rows, wrows, align_corners,
         ).astype(jnp.float32)
         kvalid = kidx < float(g2)
 
-        gix0 = jnp.zeros((tile, 1), jnp.float32)
-        gix1 = jnp.zeros((tile, 1), jnp.float32)
-        gix2 = jnp.zeros((tile, 1), jnp.float32)
-        for d, (s0, s1, s2) in enumerate(DISPLACEMENTS):
-            woff = woff_ref[bi, s0 + 1, ti]
-            dix0 = ix0 + s0 * dsh[0]
-            dix1 = ix1 + s1 * dsh[1]
-            dix2 = ix2 + s2 * dsh[2]
-            rows_abs = (base + woff).astype(jnp.float32) + arow
-            h0 = _hat(dix0, rows_abs)
-            h1 = _hat(dix1, bcol)
-            tab = tab_ref[pl.ds(woff, wrows)].reshape(wrows * g1p, g2p)
+        @pl.when(jnp.logical_not(skip))
+        def _compute():
+            gix0 = jnp.zeros((tile, 1), jnp.float32)
+            gix1 = jnp.zeros((tile, 1), jnp.float32)
+            gix2 = jnp.zeros((tile, 1), jnp.float32)
+            for d, (s0, s1, s2) in enumerate(DISPLACEMENTS):
+                woff = woff_ref[bi, s0 + 1, ti]
+                dix0 = ix0 + s0 * dsh[0]
+                dix1 = ix1 + s1 * dsh[1]
+                dix2 = ix2 + s2 * dsh[2]
+                rows_abs = (base + woff).astype(jnp.float32) + arow
+                h0 = _hat(dix0, rows_abs)
+                h1 = _hat(dix1, bcol)
+                tab = tab_ref[pl.ds(woff, wrows)].reshape(wrows * g1p, g2p)
 
-            def pencil(w):
-                return jax.lax.dot_general(
-                    w.astype(bf), tab, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                def pencil(w):
+                    return jax.lax.dot_general(
+                        w.astype(bf), tab, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                # gd: this copy's incoming grad spread to the (k, c) lanes via
+                # the constant 0/1 fold matrix (a broadcast reshape is an
+                # unsupported Mosaic shape cast)
+                gd = jax.lax.dot_general(
+                    g_ref[0, :, d * c : (d + 1) * c].astype(bf), foldt_ref[:, :],
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
                 )
+                h2 = jnp.where(kvalid, _hat(dix2, kidx), 0.0)
+                common = gd * h2
+                gix0 += jnp.sum(pencil(_dhat(dix0, rows_abs) * h1) * common,
+                                axis=1, keepdims=True)
+                gix1 += jnp.sum(pencil(h0 * _dhat(dix1, bcol)) * common,
+                                axis=1, keepdims=True)
+                dh2 = jnp.where(kvalid, _dhat(dix2, kidx), 0.0)
+                gix2 += jnp.sum(pencil(h0 * h1) * gd * dh2,
+                                axis=1, keepdims=True)
 
-            # gd: this copy's incoming grad spread to the (k, c) lanes via
-            # the constant 0/1 fold matrix (a broadcast reshape is an
-            # unsupported Mosaic shape cast)
-            gd = jax.lax.dot_general(
-                g_ref[0, :, d * c : (d + 1) * c].astype(bf), foldt_ref[:, :],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
-            h2 = jnp.where(kvalid, _hat(dix2, kidx), 0.0)
-            common = gd * h2
-            gix0 += jnp.sum(pencil(_dhat(dix0, rows_abs) * h1) * common,
-                            axis=1, keepdims=True)
-            gix1 += jnp.sum(pencil(h0 * _dhat(dix1, bcol)) * common,
-                            axis=1, keepdims=True)
-            dh2 = jnp.where(kvalid, _dhat(dix2, kidx), 0.0)
-            gix2 += jnp.sum(pencil(h0 * h1) * gd * dh2,
-                            axis=1, keepdims=True)
-
-        out_ref[0, :, 0:1] = gix0 * a0
-        out_ref[0, :, 1:2] = gix1 * a1
-        out_ref[0, :, 2:3] = gix2 * a2
+            out_ref[0, :, 0:1] = gix0 * a0
+            out_ref[0, :, 1:2] = gix1 * a1
+            out_ref[0, :, 2:3] = gix2 * a2
 
     return kernel
 
@@ -158,7 +170,7 @@ def _make_points_kernel(dims, c, g2p, g1p, rows, wrows, align_corners,
                      "tile", "interpret"),
 )
 def level_grad_points(
-    vol, q0, q1, q2, tile_slab, g,
+    vol, q0, q1, q2, tile_slab, tile_used, g,
     dims: tuple, g0_fine: int, align_corners: bool, displacement: float,
     tile: int = TILE, interpret: bool = False,
 ):
@@ -196,7 +208,7 @@ def level_grad_points(
         dims, c, g2p, g1p, rows, wrows, align_corners, displacement, tile
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,  # tile_base, tile_woff, tile_used
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -227,7 +239,7 @@ def level_grad_points(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
-        tile_base, tile_woff, volp,
+        tile_base, tile_woff, tile_used, volp,
         q0[..., None], q1[..., None], q2[..., None], g, foldt,
     )
 
@@ -252,12 +264,13 @@ def _make_vol_kernel(dims, c, g2p, g1p, wrows, align_corners, displacement,
     bf = jnp.bfloat16
     s0_group = group - 1
 
-    def kernel(wlo_ref, q0_ref, q1_ref, q2_ref, g_ref, foldt_ref, acc_in_ref,
-               out_ref, acc_ref, state_ref, sem):
+    def kernel(wlo_ref, used_ref, q0_ref, q1_ref, q2_ref, g_ref, foldt_ref,
+               acc_in_ref, out_ref, acc_ref, state_ref, sem):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         nt = pl.num_programs(1)
         wlo = wlo_ref[bi, ti]
+        skip = used_ref[bi, ti] == 0
 
         @pl.when(jnp.logical_and(ti == 0, bi == 0))
         def _():
@@ -265,7 +278,13 @@ def _make_vol_kernel(dims, c, g2p, g1p, wrows, align_corners, displacement,
             state_ref[1] = -1
 
         # flush + reload the window accumulator when the window moves
-        @pl.when(jnp.logical_or(state_ref[0] != wlo, state_ref[1] != bi))
+        # (pure-padding tiles contribute nothing and skip the machinery)
+        @pl.when(
+            jnp.logical_and(
+                jnp.logical_not(skip),
+                jnp.logical_or(state_ref[0] != wlo, state_ref[1] != bi),
+            )
+        )
         def _():
             @pl.when(state_ref[0] >= 0)
             def _():
@@ -301,7 +320,7 @@ def _make_vol_kernel(dims, c, g2p, g1p, wrows, align_corners, displacement,
 
         h0 = _hat(ix0, arow)
         contrib = jnp.zeros((wrows * g1p, g2p), jnp.float32)
-        for d in _D_GROUPS[group]:
+        for d in _D_GROUPS[group]:  # noqa: B007
             _, s1, s2 = DISPLACEMENTS[d]
             dix1 = ix1 + s1 * dsh[1]
             dix2 = ix2 + s2 * dsh[2]
@@ -316,15 +335,22 @@ def _make_vol_kernel(dims, c, g2p, g1p, wrows, align_corners, displacement,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        acc_ref[...] = acc_ref[...] + contrib.reshape(wrows, g1p, g2p)
+        @pl.when(jnp.logical_not(skip))
+        def _():
+            acc_ref[...] = acc_ref[...] + contrib.reshape(wrows, g1p, g2p)
 
-        # final flush
+        # final flush: write the LOADED window (state refs — the last grid
+        # tile may be pure padding with a different nominal window)
         @pl.when(
-            jnp.logical_and(bi == pl.num_programs(0) - 1, ti == nt - 1)
+            jnp.logical_and(
+                jnp.logical_and(bi == pl.num_programs(0) - 1, ti == nt - 1),
+                state_ref[0] >= 0,
+            )
         )
         def _():
             dma = pltpu.make_async_copy(
-                acc_ref, out_ref.at[bi, pl.ds(wlo, wrows)], sem
+                acc_ref, out_ref.at[state_ref[1], pl.ds(state_ref[0], wrows)],
+                sem,
             )
             dma.start()
             dma.wait()
@@ -338,7 +364,7 @@ def _make_vol_kernel(dims, c, g2p, g1p, wrows, align_corners, displacement,
                      "tile", "interpret"),
 )
 def level_grad_vol(
-    q0, q1, q2, tile_slab, g,
+    q0, q1, q2, tile_slab, tile_used, g,
     dims: tuple, g0_fine: int, align_corners: bool, displacement: float,
     tile: int = TILE, interpret: bool = False,
 ):
@@ -371,7 +397,7 @@ def level_grad_vol(
             group,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,  # tile_wlo, tile_used
             grid=(b, nt),
             in_specs=[
                 pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
@@ -396,15 +422,15 @@ def level_grad_vol(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((b, g0, g1p, g2p), jnp.float32),
-            input_output_aliases={6: 0},  # accumulate across the 3 groups
+            input_output_aliases={7: 0},  # accumulate across the 3 groups
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
         )(
-            tile_wlo, q0[..., None], q1[..., None], q2[..., None], g, foldt,
-            grad,
+            tile_wlo, tile_used, q0[..., None], q1[..., None], q2[..., None],
+            g, foldt, grad,
         )
     return grad[:, :, :g1, :g2c].reshape(b, g0, g1, g2, c)
 
@@ -416,39 +442,40 @@ def level_grad_vol(
 from sv3d_tpu.ops.pallas.point_query import level_features  # noqa: E402
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def level_features_diff(vol, q0, q1, q2, tile_slab, dims, g0_fine,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def level_features_diff(vol, q0, q1, q2, tile_slab, tile_used, dims, g0_fine,
                         align_corners, displacement, tile, interpret):
     """level_features with a custom VJP (grad_vol + grad_points kernels) —
     lets training differentiate through the fused interpolation."""
     return level_features(
-        vol, q0, q1, q2, tile_slab, dims, g0_fine, align_corners,
+        vol, q0, q1, q2, tile_slab, tile_used, dims, g0_fine, align_corners,
         displacement, tile=tile, interpret=interpret,
     )
 
 
-def _lf_fwd(vol, q0, q1, q2, tile_slab, dims, g0_fine, align_corners,
-            displacement, tile, interpret):
+def _lf_fwd(vol, q0, q1, q2, tile_slab, tile_used, dims, g0_fine,
+            align_corners, displacement, tile, interpret):
     out = level_features(
-        vol, q0, q1, q2, tile_slab, dims, g0_fine, align_corners,
+        vol, q0, q1, q2, tile_slab, tile_used, dims, g0_fine, align_corners,
         displacement, tile=tile, interpret=interpret,
     )
-    return out, (vol, q0, q1, q2, tile_slab)
+    return out, (vol, q0, q1, q2, tile_slab, tile_used)
 
 
 def _lf_bwd(dims, g0_fine, align_corners, displacement, tile, interpret,
             res, g):
-    vol, q0, q1, q2, tile_slab = res
+    vol, q0, q1, q2, tile_slab, tile_used = res
     gv = level_grad_vol(
-        q0, q1, q2, tile_slab, g, dims, g0_fine, align_corners,
+        q0, q1, q2, tile_slab, tile_used, g, dims, g0_fine, align_corners,
         displacement, tile=tile, interpret=interpret,
     )
     gp = level_grad_points(
-        vol, q0, q1, q2, tile_slab, g, dims, g0_fine, align_corners,
-        displacement, tile=tile, interpret=interpret,
+        vol, q0, q1, q2, tile_slab, tile_used, g, dims, g0_fine,
+        align_corners, displacement, tile=tile, interpret=interpret,
     )
     g_slab = np.zeros(tile_slab.shape, jax.dtypes.float0)
-    return gv, gp[..., 0], gp[..., 1], gp[..., 2], g_slab
+    g_used = np.zeros(tile_used.shape, jax.dtypes.float0)
+    return gv, gp[..., 0], gp[..., 1], gp[..., 2], g_slab, g_used
 
 
 level_features_diff.defvjp(_lf_fwd, _lf_bwd)

@@ -57,7 +57,8 @@ def _slab_windows(g0: int):
 def _make_kernel(dims, g1p: int, g2p: int, rows: int, eps: float, tile: int):
     d0, d1, d2 = (int(d) for d in dims)
 
-    def kernel(slab_ref, base_ref, q0_ref, q1_ref, q2_ref, out_ref, state_ref):
+    def kernel(slab_ref, base_ref, used_ref, q0_ref, q1_ref, q2_ref, out_ref,
+               state_ref):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         base = base_ref[bi, ti].astype(jnp.float32)
@@ -96,6 +97,8 @@ def _make_kernel(dims, g1p: int, g2p: int, rows: int, eps: float, tile: int):
         )  # (rows*g1p, g2p)
 
         # accumulate into the slab block, zero-initializing on first visit
+        # (the init runs even for pure-padding tiles: every slab block must
+        # be defined before the XLA fold adds it back)
         slab_key = slab_ref[bi, ti]
 
         @pl.when(
@@ -106,7 +109,9 @@ def _make_kernel(dims, g1p: int, g2p: int, rows: int, eps: float, tile: int):
             state_ref[0] = slab_key
             state_ref[1] = bi
 
-        out_ref[0, 0] = out_ref[0, 0] + contrib.reshape(rows, g1p, g2p)
+        @pl.when(used_ref[bi, ti] > 0)
+        def _():
+            out_ref[0, 0] = out_ref[0, 0] + contrib.reshape(rows, g1p, g2p)
 
     return kernel
 
@@ -129,7 +134,7 @@ def _scatter_pallas_raw(
     ns = len(tab_lo)
 
     # voxelize's ix = (p + 0.5)*(g - 1) == the ac=True mapping of 2p
-    q0, q1, q2, _pos, tile_slab = bucket_queries(
+    q0, q1, q2, _pos, tile_slab, tile_used = bucket_queries(
         2.0 * points[..., 0], 2.0 * points[..., 1], 2.0 * points[..., 2],
         d0, True, tile=tile,
     )
@@ -141,7 +146,7 @@ def _scatter_pallas_raw(
 
     kernel = _make_kernel(dims, g1p, g2p, rows, eps, tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # tile_slab, tile_base
+        num_scalar_prefetch=3,  # tile_slab, tile_base, tile_used
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
@@ -153,7 +158,7 @@ def _scatter_pallas_raw(
         ],
         out_specs=pl.BlockSpec(
             (1, 1, rows, g1p, g2p),
-            lambda bi, ti, slab_ref, base_ref: (
+            lambda bi, ti, slab_ref, base_ref, used_ref: (
                 bi, slab_ref[bi, ti], 0, 0, 0
             ),
             memory_space=pltpu.VMEM,
@@ -172,7 +177,8 @@ def _scatter_pallas_raw(
             bytes_accessed=b * ns * rows * g1p * g2p * 4 + b * p * 3 * 4,
             transcendentals=0,
         ),
-    )(tile_slab, tile_base, q0[..., None], q1[..., None], q2[..., None])
+    )(tile_slab, tile_base, tile_used, q0[..., None], q1[..., None],
+      q2[..., None])
 
     # fold overlapping slab windows back with static-slice adds
     vox = jnp.zeros((b, d0, g1p, g2p), jnp.float32)

@@ -41,10 +41,10 @@ def _fused(vol, pts, disp, ac, g0_fine):
     b, n = pts.shape[:2]
     c = vol.shape[-1]
     p0, p1, p2 = (jnp.asarray(pts[..., i]) for i in range(3))
-    q0, q1, q2, pos, tile_slab = bucket_queries(p0, p1, p2, g0_fine, ac)
+    q0, q1, q2, pos, tile_slab, tile_used = bucket_queries(p0, p1, p2, g0_fine, ac)
     feats = level_features(
-        jnp.asarray(vol), q0, q1, q2, tile_slab, vol.shape[1:4], g0_fine,
-        ac, disp, interpret=True,
+        jnp.asarray(vol), q0, q1, q2, tile_slab, tile_used, vol.shape[1:4],
+        g0_fine, ac, disp, interpret=True,
     )
     got = np.take_along_axis(np.asarray(feats), np.asarray(pos)[..., None], axis=1)
     return got.reshape(b, n, 7, c).transpose(0, 2, 1, 3)
@@ -54,7 +54,7 @@ def test_bucket_queries_invariants():
     b, n, g0 = 2, 257, 19
     pts = RNG.uniform(-1.2, 1.2, (b, n, 3)).astype(np.float32)
     p = [jnp.asarray(pts[..., i]) for i in range(3)]
-    q0, q1, q2, pos, tile_slab = bucket_queries(p[0], p[1], p[2], g0, False)
+    q0, q1, q2, pos, tile_slab, tile_used = bucket_queries(p[0], p[1], p[2], g0, False)
     pos = np.asarray(pos)
     # positions are unique per batch row and within the padded capacity
     for bi in range(b):

@@ -46,14 +46,14 @@ def test_grad_parity_vs_xla(ac, c):
     )
 
     # kernel grads: map the probe into the bucket-padded (B, P, 7C) layout
-    q0, q1, q2, pos, tile_slab = bucket_queries(p[0], p[1], p[2], dims[0], ac)
+    q0, q1, q2, pos, tile_slab, tile_used = bucket_queries(p[0], p[1], p[2], dims[0], ac)
     cap = q0.shape[1]
     g = jnp.zeros((b, cap, 7 * c), jnp.float32)
     probe_n = jnp.moveaxis(probe, 1, 2).reshape(b, n, 7 * c)
     g = jax.vmap(lambda gg, ps, v: gg.at[ps].set(v))(g, pos, probe_n)
 
     gp = level_grad_points(
-        vol, q0, q1, q2, tile_slab, g, dims, dims[0], ac, disp,
+        vol, q0, q1, q2, tile_slab, tile_used, g, dims, dims[0], ac, disp,
         interpret=True,
     )
     gp_n = np.take_along_axis(
@@ -65,7 +65,8 @@ def test_grad_parity_vs_xla(ac, c):
         assert err < 4e-2 * max(float(jnp.abs(ref).max()), 1.0), (axis, err)
 
     gv = level_grad_vol(
-        q0, q1, q2, tile_slab, g, dims, dims[0], ac, disp, interpret=True
+        q0, q1, q2, tile_slab, tile_used, g, dims, dims[0], ac, disp,
+        interpret=True,
     )
     gv_ref = np.asarray(gv_ref)
     err = np.abs(np.asarray(gv) - gv_ref).max()
@@ -86,12 +87,13 @@ def test_grad_vol_coarse_level():
 
     gv_ref = np.asarray(jax.grad(loss)(vol))
 
-    q0, q1, q2, pos, tile_slab = bucket_queries(p[0], p[1], p[2], fine, ac)
+    q0, q1, q2, pos, tile_slab, tile_used = bucket_queries(p[0], p[1], p[2], fine, ac)
     g = jnp.zeros((1, q0.shape[1], 7 * c), jnp.float32)
     probe_n = jnp.moveaxis(probe, 1, 2).reshape(1, 100, 7 * c)
     g = jax.vmap(lambda gg, ps, v: gg.at[ps].set(v))(g, pos, probe_n)
     gv = level_grad_vol(
-        q0, q1, q2, tile_slab, g, dims, fine, ac, disp, interpret=True
+        q0, q1, q2, tile_slab, tile_used, g, dims, fine, ac, disp,
+        interpret=True,
     )
     err = np.abs(np.asarray(gv) - gv_ref).max()
     assert err < 4e-2 * max(np.abs(gv_ref).max(), 1.0), err
