@@ -123,7 +123,9 @@ def main():
         "fused_query": bool(args.fused_query),
         "train_seconds": round(train_s, 1),
         "steps_per_sec": round(args.steps / train_s, 3),
-        "mesh_seconds": round(mesh_s, 2),
+        # single cold extraction: dominated by XLA/Mosaic compilation of the
+        # sweep (the warm number is bench.py's scene_seconds, ~3 s)
+        "mesh_seconds_cold": round(mesh_s, 2),
         "protocol": "end_to_end" if args.use_unet else "viability_gt_depth",
         "iou": round(metrics["iou"], 4),
         "chamfer_l2": round(metrics["chamfer_l2"], 6),

@@ -182,8 +182,7 @@ def level_grad_points(
     g2c = g2 * c
     g2p = -(-g2c // 128) * 128
     g1p = -(-g1 // 8) * 8
-    if g2p != g2c:  # kernel spreads gd by g2p//c blocks; keep it exact
-        g2p = g2c if g2c % 128 == 0 else (-(-g2c // 128) * 128)
+    assert g2p % c == 0, (g2p, c)  # kernel spreads gd by g2p//c blocks
 
     tab_lo, woff_np, rows, wrows = _level_windows(
         g0_fine, dims, align_corners, displacement

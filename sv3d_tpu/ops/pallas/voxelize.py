@@ -63,6 +63,14 @@ def _make_kernel(dims, g1p: int, g2p: int, rows: int, eps: float, tile: int):
         ti = pl.program_id(1)
         base = base_ref[bi, ti].astype(jnp.float32)
 
+        # SMEM scratch is uninitialized on entry; if it happened to hold
+        # (0, 0) — exactly the first tile's (slab_key, bi) — the first slab
+        # block's zero-init below would be skipped and garbage accumulated.
+        @pl.when(jnp.logical_and(ti == 0, bi == 0))
+        def _():
+            state_ref[0] = -1
+            state_ref[1] = -1
+
         p0 = q0_ref[0]  # (T, 1) coords in [-0.5, 0.5] (sentinel +2 in pads)
         p1 = q1_ref[0]
         p2 = q2_ref[0]

@@ -91,11 +91,15 @@ class DepthRegressorTrainer(BaseTrainer):
 
     def train_dataset(self):
         c = self.config
-        return DepthDataset("train", c.datasetdir, c.splitsdir, c.resize_input, c.W)
+        return DepthDataset(
+            "train", c.datasetdir, c.splitsdir, c.resize_input, c.W, seed=c.seed
+        )
 
     def val_dataset(self):
         c = self.config
-        return DepthDataset("val", c.datasetdir, c.splitsdir, c.resize_input, c.W)
+        return DepthDataset(
+            "val", c.datasetdir, c.splitsdir, c.resize_input, c.W, seed=c.seed
+        )
 
     def train_step(self, state, batch, rng_key):
         return self._train_step(state, batch["input"], batch["target"])
