@@ -93,11 +93,42 @@ def _points_query_fn(model: IFNet, use_pallas: bool):
     if use_pallas:
         return jax.jit(
             lambda v, lv, p: jax.nn.sigmoid(
-                model.apply(v, lv, p, method=IFNet.query_fused)
+                model.apply(v, lv, p, mesh="local", method=IFNet.query_fused)
             )
         )
     return jax.jit(
         lambda v, lv, p: jax.nn.sigmoid(model.apply(v, lv, p, method=IFNet.query))
+    )
+
+
+@lru_cache(maxsize=64)
+def _points_query_sharded_fn(model: IFNet, mesh, use_pallas: bool):
+    """Arbitrary-point query with the point axis sharded over ALL mesh
+    devices (("dp", "sp") flattened — inference batches are usually B=1, so
+    the dp axis would otherwise idle).  The fused Pallas path runs per-shard
+    under shard_map (pallas_call cannot be partitioned by GSPMD); each shard
+    buckets + interpolates its own contiguous point block.  Composes the two
+    headline TPU features — the MXU query kernel and the device mesh — that
+    the reference serves with a single-GPU chunked loop
+    (reference model/ifnet.py:215-229)."""
+    from jax.sharding import PartitionSpec as P
+
+    if use_pallas:
+        body = lambda v, lv, p: jax.nn.sigmoid(
+            model.apply(v, lv, p, mesh="local", method=IFNet.query_fused)
+        )
+    else:
+        body = lambda v, lv, p: jax.nn.sigmoid(
+            model.apply(v, lv, p, method=IFNet.query)
+        )
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, ("dp", "sp"))),
+            out_specs=P(None, ("dp", "sp")),
+            check_vma=False,
+        )
     )
 
 
@@ -173,36 +204,39 @@ def evaluate_points(
     """Sigmoid-occupancy at ARBITRARY points (M, 3) in [-0.5, 0.5], tiled at
     a fixed shape; points may be sharded over "sp".
 
-    use_pallas (default: auto — True on TPU) routes through the MXU-fused
-    bucketed interpolation kernel (IFNet.query_fused) instead of XLA gathers;
-    bf16 compute, inference-grade (~1e-2 relative logit tolerance)."""
+    use_pallas (default: auto — True on TPU, with or without a mesh) routes
+    through the MXU-fused bucketed interpolation kernel (IFNet.query_fused)
+    instead of XLA gathers; bf16 compute, inference-grade (~1e-2 relative
+    logit tolerance — opt out with use_pallas=False for exact f32 gathers).
+
+    With a mesh the point axis is sharded over ALL its devices (dp and sp
+    flattened) and the fused kernel runs per-shard under shard_map."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and mesh is None
+        use_pallas = jax.default_backend() == "tpu"
     levels = _encode_fn(model)(variables, grid)
-    query = _points_query_fn(model, use_pallas and mesh is None)
+    if mesh is not None:
+        query = _points_query_sharded_fn(model, mesh, use_pallas)
+        n_shards = mesh.shape["dp"] * mesh.shape["sp"]
+    else:
+        query = _points_query_fn(model, use_pallas)
+        n_shards = 1
 
     pts = np.asarray(points, dtype=np.float32)
     m = pts.shape[0]
     tile = min(tile_points, m)
-    if mesh is not None:
-        sp = mesh.shape["sp"]
-        tile = max((tile // sp) * sp, sp)
+    tile = max((tile // n_shards) * n_shards, n_shards)
     n_tiles = -(-m // tile)
     padded = np.zeros((n_tiles * tile, 3), dtype=np.float32)
     padded[:m] = pts
 
     if mesh is not None:
-        from sv3d_tpu.parallel.mesh import point_sharding, replicate
+        from sv3d_tpu.parallel.mesh import replicate
 
         levels = jax.device_put(levels, replicate(mesh))
 
     out = np.empty(n_tiles * tile, dtype=np.float32)
     for i in range(n_tiles):
         chunk = jnp.asarray(padded[i * tile : (i + 1) * tile])[None]
-        if mesh is not None:
-            from sv3d_tpu.parallel.mesh import point_sharding
-
-            chunk = jax.device_put(chunk, point_sharding(mesh))
         out[i * tile : (i + 1) * tile] = np.asarray(query(variables, levels, chunk)[0])
     return out[:m]
 

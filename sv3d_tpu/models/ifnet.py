@@ -78,6 +78,66 @@ _point_conv_init = nn.initializers.variance_scaling(
 )
 
 
+def _query_fused_impl(
+    cfg: IFNetConfig, kernels, biases, levels: Pyramid, points: jnp.ndarray,
+    interpret: bool | None, tile: int | None,
+) -> jnp.ndarray:
+    """Single-device body of IFNet.query_fused (standalone so it can run as
+    the per-shard function of a shard_map — shard_map wants explicit array
+    arguments, not flax method closures)."""
+    from sv3d_tpu.ops.pallas.point_query import bucket_queries, default_interpret
+    from sv3d_tpu.ops.pallas.point_query_bwd import level_features_diff
+
+    if interpret is None:
+        interpret = default_interpret()
+    b, n, _ = points.shape
+    if tile is None:
+        tile = 128  # measured flat vs 256 at 65k pts; 512 exceeds VMEM
+    p0, p1, p2 = (2.0 * points[..., i] for i in range(3))
+    g0_fine = levels.dims[0][0]
+    q0, q1, q2, pos, tile_slab, tile_used = bucket_queries(
+        p0, p1, p2, g0_fine, cfg.align_corners, tile=tile
+    )
+
+    feats = []
+    for (flat, dims), c in zip(levels, cfg.feature_channels):
+        vol = jnp.moveaxis(flat.reshape(b, c, *dims), 1, -1)
+        feats.append(
+            level_features_diff(
+                vol, q0, q1, q2, tile_slab, tile_used, dims, g0_fine,
+                cfg.align_corners, cfg.displacement, tile, interpret,
+            )
+        )
+    f = jnp.concatenate(feats, axis=-1)  # (B, P, sum 7*C_l), level-major
+
+    # permute fc0 columns from displacement-major (d*sumC + c_global) to
+    # the kernel's level-major order (off_l + d*C_l + c)
+    chans = cfg.feature_channels
+    sum_c = sum(chans)
+    perm = []
+    for li, c in enumerate(chans):
+        cg = sum(chans[:li])
+        for d in range(7):
+            for cc in range(c):
+                perm.append(d * sum_c + cg + cc)
+    w0 = kernels[0][:, jnp.asarray(np.asarray(perm, np.int32))]
+
+    h = jnp.einsum(
+        "hf,bpf->bph", w0.astype(jnp.bfloat16), f.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) + biases[0][None, None, :]
+    h = nn.relu(h)
+    for kernel, bias in zip(kernels[1:], biases[1:]):
+        h = jnp.einsum(
+            "hf,bpf->bph", kernel.astype(jnp.bfloat16),
+            h.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+        ) + bias[None, None, :]
+        if kernel.shape[0] > 1:
+            h = nn.relu(h)
+    logits_padded = h[..., 0]  # (B, P)
+    return jnp.take_along_axis(logits_padded, pos, axis=1)  # (B, N)
+
+
 class IFNet(nn.Module):
     """Multi-scale implicit occupancy network.
 
@@ -85,10 +145,16 @@ class IFNet(nn.Module):
     encode(grid) -> pyramid / query(pyramid, points) separately.
     grid: (B, D0, D1, D2, 1) channels-last occupancy volume.
     points: (B, N, 3) in [-0.5, 0.5].
+
+    mesh: optional jax.sharding.Mesh with ("dp", "sp") axes.  When set, the
+    fused Pallas query path runs under shard_map (batch over dp, points over
+    sp) so the kernel composes with GSPMD training/inference instead of being
+    silently replicated — see query_fused.
     """
 
     config: IFNetConfig = IFNetConfig()
     dtype: object = None  # e.g. jnp.bfloat16 for mixed precision (params stay f32)
+    mesh: object = None  # jax.sharding.Mesh (static, hashable)
 
     def setup(self):
         cfg = self.config
@@ -203,7 +269,7 @@ class IFNet(nn.Module):
 
     def query_fused(
         self, levels: Pyramid, points: jnp.ndarray, interpret: bool | None = None,
-        tile: int | None = None,
+        tile: int | None = None, mesh: object = None,
     ) -> jnp.ndarray:
         """MXU-fused arbitrary-point query (Pallas; inference fast path).
 
@@ -213,66 +279,40 @@ class IFNet(nn.Module):
         MXU contractions per displacement copy, and the decoder MLP runs on
         the padded layout with fc0's columns permuted from displacement-major
         to the kernel's level-major feature order.  Compute is bfloat16 with
-        float32 accumulation (~1e-2 relative feature error vs query()); use
-        for INFERENCE — training keeps query()'s exact float32 autodiff.
+        float32 accumulation (~1e-2 relative feature error vs query()).
+
+        mesh routing (None = use self.mesh; "local" = force single-device):
+        pallas_call cannot be partitioned by GSPMD — under a plain jit over a
+        mesh it silently replicates.  With a ("dp", "sp") mesh the body runs
+        under shard_map instead: batch over dp, points over sp, pyramid and
+        params replicated along sp.  Each shard buckets and interpolates its
+        own point slice; no collectives in the forward, psums of the param/
+        pyramid cotangents in the backward (shard_map transpose).  Falls back
+        to the single-device body when shapes don't divide the mesh (e.g.
+        B=1 init traces).
         """
-        from sv3d_tpu.ops.pallas.point_query import (
-            bucket_queries,
-            default_interpret,
-        )
-        from sv3d_tpu.ops.pallas.point_query_bwd import level_features_diff
-
+        if mesh is None:
+            mesh = self.mesh
+        kernels = tuple(self.mlp_kernels)
+        biases = tuple(self.mlp_biases)
         cfg = self.config
-        if interpret is None:
-            interpret = default_interpret()
         b, n, _ = points.shape
-        if tile is None:
-            tile = 128  # measured flat vs 256 at 65k pts; 512 exceeds VMEM
-        p0, p1, p2 = (2.0 * points[..., i] for i in range(3))
-        g0_fine = levels.dims[0][0]
-        q0, q1, q2, pos, tile_slab, tile_used = bucket_queries(
-            p0, p1, p2, g0_fine, cfg.align_corners, tile=tile
-        )
+        if mesh is not None and mesh != "local":
+            dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+            if dp * sp > 1 and b % dp == 0 and n % sp == 0:
+                from jax.sharding import PartitionSpec as P
 
-        feats = []
-        for (flat, dims), c in zip(levels, cfg.feature_channels):
-            vol = jnp.moveaxis(flat.reshape(b, c, *dims), 1, -1)
-            feats.append(
-                level_features_diff(
-                    vol, q0, q1, q2, tile_slab, tile_used, dims, g0_fine,
-                    cfg.align_corners, cfg.displacement, tile, interpret,
+                fn = jax.shard_map(
+                    lambda k, bi, lv, p: _query_fused_impl(
+                        cfg, k, bi, lv, p, interpret, tile
+                    ),
+                    mesh=mesh,
+                    in_specs=(P(), P(), P("dp"), P("dp", "sp")),
+                    out_specs=P("dp", "sp"),
+                    check_vma=False,  # pallas out_shapes carry no vma info
                 )
-            )
-        f = jnp.concatenate(feats, axis=-1)  # (B, P, sum 7*C_l), level-major
-
-        # permute fc0 columns from displacement-major (d*sumC + c_global) to
-        # the kernel's level-major order (off_l + d*C_l + c)
-        chans = self.config.feature_channels
-        sum_c = sum(chans)
-        perm = []
-        off = 0
-        for li, c in enumerate(chans):
-            cg = sum(chans[:li])
-            for d in range(7):
-                for cc in range(c):
-                    perm.append(d * sum_c + cg + cc)
-            off += 7 * c
-        w0 = self.fc0_kernel[:, jnp.asarray(np.asarray(perm, np.int32))]
-
-        h = jnp.einsum(
-            "hf,bpf->bph", w0.astype(jnp.bfloat16), f.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        ) + self.fc0_bias[None, None, :]
-        h = nn.relu(h)
-        for kernel, bias in zip(self.mlp_kernels[1:], self.mlp_biases[1:]):
-            h = jnp.einsum(
-                "hf,bpf->bph", kernel.astype(jnp.bfloat16),
-                h.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
-            ) + bias[None, None, :]
-            if kernel.shape[0] > 1:
-                h = nn.relu(h)
-        logits_padded = h[..., 0]  # (B, P)
-        return jnp.take_along_axis(logits_padded, pos, axis=1)  # (B, N)
+                return fn(kernels, biases, levels, points)
+        return _query_fused_impl(cfg, kernels, biases, levels, points, interpret, tile)
 
     def query_lattice(
         self,

@@ -35,6 +35,10 @@ class SceneNet(nn.Module):
     config: Config
     intrinsics: Intrinsics
     frustum: FrustumGrid
+    # optional ("dp", "sp") jax.sharding.Mesh: lets the fused Pallas query
+    # path run under shard_map instead of being replicated by GSPMD (see
+    # IFNet.query_fused)
+    mesh: object = None
 
     def setup(self):
         cfg = self.config
@@ -48,7 +52,7 @@ class SceneNet(nn.Module):
                 else UNetMini(channels_out=1, dtype=dt)
             )
         self.project = Projection(cfg.projection())
-        self.ifnet = IFNet(cfg.ifnet(), dtype=dt)
+        self.ifnet = IFNet(cfg.ifnet(), dtype=dt, mesh=self.mesh)
 
     def predict_depth(self, rgb: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         """(B, H, W, 3) normalized RGB -> (B, 240, 320) renormalized depth

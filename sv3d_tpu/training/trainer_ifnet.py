@@ -61,7 +61,7 @@ class ImplicitRefinementTrainer(BaseTrainer):
     def __init__(self, config: Config, **kw):
         super().__init__(config, **kw)
         dt = None if config.precision == 32 else config.dtype
-        self.model = IFNet(config.ifnet(), dtype=dt)
+        self.model = IFNet(config.ifnet(), dtype=dt, mesh=self.mesh)
         self._train_step = make_train_step(self.model)
         self._eval_step = make_eval_step(self.model)
 

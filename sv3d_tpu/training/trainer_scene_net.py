@@ -182,7 +182,7 @@ class SceneNetTrainer(BaseTrainer):
         self.frustum = FrustumGrid.create(
             self.intrinsics, voxel_size=0.05 * config.scale_factor
         )
-        self.model = SceneNet(config, self.intrinsics, self.frustum)
+        self.model = SceneNet(config, self.intrinsics, self.frustum, mesh=self.mesh)
         self._train_step = make_train_step(self.model, config)
         self._eval_step = make_eval_step(self.model, config)
         self._project_step = (
@@ -245,14 +245,31 @@ class SceneNetTrainer(BaseTrainer):
 
     def _occupancies_with_pc(self, state, batch, rng_key):
         """Host labeling of the projected subsample (reference
-        trainer_scene_net.py:112-114)."""
+        trainer_scene_net.py:112-114).  The labeling itself is inherently a
+        host round-trip (C++ triangle-hash waterproofing); under a mesh the
+        result is explicitly RE-SHARDED over (dp, sp) before re-entering the
+        jitted step — otherwise the extra loss input would arrive replicated
+        and GSPMD would gather the whole point axis back onto every device."""
         from sv3d_tpu.preprocessing.occupancies import determine_occupancy
 
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "subsample_points > 0 labels projected clouds on the host, "
+                "which requires the full batch locally; in multi-host runs "
+                "precompute occupancies instead (subsample_points=0)"
+            )
         pc = np.asarray(
             self._project_step(state, batch["rgb"], batch["depthmap_target"], rng_key)
         )
         _, occ_pc = determine_occupancy(batch["mesh"], pc, dims=self.config.dims)
-        return np.concatenate([occ_pc.astype(np.float32), batch["occupancies"]], axis=1)
+        occ = np.concatenate(
+            [occ_pc.astype(np.float32), np.asarray(batch["occupancies"])], axis=1
+        )
+        if self.mesh is not None:
+            from sv3d_tpu.parallel.mesh import point_sharding
+
+            occ = jax.device_put(occ, point_sharding(self.mesh))
+        return occ
 
     def train_step(self, state, batch, rng_key):
         if self.config.subsample_points > 0:
