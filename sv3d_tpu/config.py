@@ -158,6 +158,21 @@ class Config:
                 "fused_query already runs bf16 compute internally; use it "
                 "with precision=32 (the float32 interface)"
             )
+        if self.fused_query and self.net_res == 32 and self.scale_factor < 2:
+            # Measured on v5e: the 32-res pyramid keeps a 64-channel level at
+            # FULL grid resolution, so the fused kernel's per-slab VMEM table
+            # is (rows, 104, 112*64)*2B ≈ 25 MB and its Mosaic compile runs
+            # >10 minutes at dims (139, 104, 112).  At the variant's intended
+            # scale (reference report §3.2 trains 32-res at half scale,
+            # scale_factor>=2) it compiles fine (verified on TPU, logit diff
+            # 4e-4).  See ARCHITECTURE.md "Known limitations".
+            raise ValueError(
+                "fused_query with net_res=32 requires scale_factor >= 2: at "
+                "full dims (139, 104, 112) the 64-channel full-resolution "
+                "level's Mosaic kernel compiles >10 min (25 MB VMEM slab "
+                "table).  Use scale_factor>=2 (the 32-res variant's intended "
+                "half-scale config) or net_res=128."
+            )
 
     @property
     def dims(self) -> tuple:
