@@ -94,7 +94,17 @@ class DataLoader:
         lo = self.process_index * per
         for b in range(len(self)):
             rows = order[b * self.batch_size : (b + 1) * self.batch_size]
-            yield list(rows[lo : lo + per] if self.process_count > 1 else rows)
+            if self.process_count > 1:
+                if len(rows) < self.batch_size:
+                    # wraparound-pad a partial final batch (drop_last=False):
+                    # multi-host assembly needs EQUAL per-process row counts,
+                    # so short batches are topped up with duplicates from the
+                    # start of the epoch order (the DDP-sampler convention)
+                    pad = self.batch_size - len(rows)
+                    rows = np.concatenate([rows, np.resize(order, pad)])
+                yield list(rows[lo : lo + per])
+            else:
+                yield list(rows)
 
     def _fetch(self, idx: int, epoch: int):
         get = getattr(self.dataset, "get", None)

@@ -33,18 +33,26 @@ class CheckpointManager:
         top_k: int = 2,
         keep_last: bool = True,
         enabled: bool = True,
+        primary: bool = True,
     ):
-        """enabled=False makes save() a no-op (non-main processes in
-        multi-host runs); restore stays available on every process."""
+        """enabled=False makes save() a fully inert no-op.
+
+        primary=False is the multi-host mode for non-main processes: they
+        PARTICIPATE in every orbax save (ocp.Checkpointer.save runs global
+        sync barriers when jax.process_count() > 1 — a process that skipped
+        the call would deadlock the primary) but do none of the filesystem
+        bookkeeping (mkdir, manifest, top-k pruning).  restore stays
+        available on every process."""
         self.directory = Path(directory)
         self.enabled = enabled
-        if enabled:
+        self.primary = primary
+        if enabled and primary:
             self.directory.mkdir(parents=True, exist_ok=True)
         self.top_k = top_k
         self.keep_last = keep_last
         self._ckpt = ocp.PyTreeCheckpointer()
         self._scores: list = []  # (metric, path)
-        if enabled:
+        if enabled and primary:
             self._load_manifest()
 
     def _load_manifest(self):
@@ -71,7 +79,9 @@ class CheckpointManager:
                 shutil.rmtree(d, ignore_errors=True)
 
     def _save_tree(self, path: Path, tree):
-        if path.exists():
+        # primary prunes any stale dir BEFORE entering orbax's save (whose
+        # initial sync barrier keeps non-primary processes from racing it)
+        if self.primary and path.exists():
             shutil.rmtree(path)
         self._ckpt.save(path.absolute(), _tree_to_numpy(tree))
 
@@ -90,6 +100,8 @@ class CheckpointManager:
         if metric is not None and self.top_k != 0:
             path = self.directory / f"step_{step}"
             self._save_tree(path, tree)
+            if not self.primary:
+                return
             # re-saving the same step (epoch-end save followed by end-of-fit
             # save) must replace its score entry, not duplicate it
             self._scores = [s for s in self._scores if s[1] != str(path)]
@@ -99,6 +111,8 @@ class CheckpointManager:
                 while len(self._scores) > self.top_k:
                     _, worst = self._scores.pop()
                     shutil.rmtree(worst, ignore_errors=True)
+        if not self.primary:
+            return
         (self.directory / "manifest.json").write_text(
             json.dumps({"scores": self._scores, "last_step": step})
         )

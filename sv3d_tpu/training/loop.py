@@ -45,14 +45,15 @@ class BaseTrainer:
             mesh = make_mesh(config.dp, config.sp)
         self.mesh = mesh
 
-        # multi-host: only process 0 writes checkpoints/logs/visualizations
-        # (the PL rank-zero convention; state is replicated so process 0 holds
-        # everything it needs)
+        # multi-host: only process 0 writes logs/visualizations; checkpoint
+        # saves are orbax collectives every process participates in, with
+        # process 0 doing the filesystem bookkeeping (the PL rank-zero
+        # convention; state is replicated so process 0 holds everything)
         self.is_main = is_main_process()
         self.exp_dir = Path(experiment_dir) if experiment_dir else config.experiment_dir()
         if self.is_main:
             self.exp_dir.mkdir(parents=True, exist_ok=True)
-        self.ckpt = CheckpointManager(self.exp_dir / "checkpoints", enabled=self.is_main)
+        self.ckpt = CheckpointManager(self.exp_dir / "checkpoints", primary=self.is_main)
         self.logger = MetricLogger(self.exp_dir / "logs", enabled=self.is_main)
         self.global_step = 0
 
