@@ -73,6 +73,56 @@ def test_occupancies_with_pc_labels(tmp_path):
     assert set(np.unique(occ)) <= {0.0, 1.0}
 
 
+def test_subsample_under_dp_sp_mesh(tmp_path):
+    """subsample_points > 0 with dp*sp > 1 (VERDICT r1 weak 3): the host-
+    labeled occupancies must RE-ENTER the jitted step sharded over the mesh's
+    (dp, sp) axes rather than replicated, and training stays finite."""
+    import jax
+
+    from sv3d_tpu.data.loader import collate
+    from sv3d_tpu.training.trainer_scene_net import SceneNetTrainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = Config(
+        datasetdir=str(FIXTURE_DATA),
+        splitsdir="overfit",
+        scale_factor=8,
+        num_points=8,
+        subsample_points=32,  # total query points = 32 + 16, per-sp slice 24
+        batch_size=4,
+        max_epoch=1,
+        seed=0,
+        sanity_steps=0,
+        skip_unet=True,
+        experiment="test_subsample_mesh",
+        net_res=32,
+        val_check_interval=1000,
+        dp=4,
+        sp=2,
+    )
+    trainer = SceneNetTrainer(cfg, experiment_dir=tmp_path / "exp")
+    state = trainer._put_state(trainer.build_state(jax.random.PRNGKey(0)))
+    ds = trainer.train_dataset()
+    batch = trainer._put(collate([ds[i] for i in range(4)]))
+
+    occ = trainer._occupancies_with_pc(state, batch, jax.random.PRNGKey(1))
+    assert occ.shape == (4, 32 + 16)
+    # sharded (dp, sp), NOT replicated: each shard holds (1, 24)
+    shard_shapes = {s.data.shape for s in occ.addressable_shards}
+    assert shard_shapes == {(1, 24)}
+
+    state2 = trainer.fit(max_steps=2)
+    assert int(state2.step) == 2
+    recs = [
+        json.loads(l)
+        for l in (tmp_path / "exp" / "logs" / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert np.isfinite(recs[0]["train_ce_loss"])
+    assert np.isfinite(recs[0]["train_mesh_ce_loss"])
+
+
 def test_grad_accumulation_smoke(tmp_path):
     """accum_steps=2 splits the batch into microbatches (scan), averages
     grads, applies once — finite losses, state advances per optimizer step."""
