@@ -102,9 +102,16 @@ def process_sample_pipeline(
     down_scale_factor: int = 1,
     num_samples: int = 100000,
     seed: int = 0,
+    processed_root: str | Path | None = None,
 ):
     """Walk dataset_path/splitsdir/<scene>/<view>; quarantine failures
-    (reference process_sample.py:32-72)."""
+    (reference process_sample.py:32-72).
+
+    By default outputs land in-place next to the raw files (the reference's
+    staging-tree behavior).  With processed_root, depth_grid/target.df/
+    occupancies are written to processed_root/<scene>/<view> instead — the
+    <datasetdir>/processed/<splitsdir> layout the datasets consume
+    (mesh.obj stays in the raw tree, where SceneNetDataset reads it)."""
     dims = tuple(round(d / down_scale_factor) for d in (139, 104, 112))
     d_path = Path(dataset_path) / splitsdir
     rng = np.random.default_rng(seed)
@@ -112,21 +119,27 @@ def process_sample_pipeline(
     for scene in sorted(p.name for p in d_path.iterdir() if p.is_dir()):
         for view in sorted(p.name for p in (d_path / scene).iterdir() if p.is_dir()):
             sample = d_path / scene / view
+            out = sample
+            if processed_root is not None:
+                out = Path(processed_root) / scene / view
+                out.mkdir(parents=True, exist_ok=True)
             try:
                 _, grid, _ = depth_grid_from_distance(
                     sample / "distance.exr",
                     Path(dataset_path) / "intrinsics.txt",
                     down_scale_factor,
                 )
-                np.savez_compressed(sample / "depth_grid", grid=grid)
+                np.savez_compressed(out / "depth_grid", grid=grid)
                 df = read_df(sample / "distance_field.df", down_scale_factor)
                 visualize_sdf(df, sample / "mesh.obj", level=1.0)
+                if processed_root is not None:
+                    shutil.copyfile(sample / "distance_field.df", out / "target.df")
                 for sigma in (0.01, 0.1):
                     pts, occ, grid_coords = sample_points(
                         sample / "mesh.obj", dims, num_samples, sigma, rng=rng
                     )
                     np.savez(
-                        sample / f"occupancy_{sigma:.02f}",
+                        out / f"occupancy_{sigma:.02f}",
                         points=pts, occupancies=occ, grid_coords=grid_coords,
                     )
                 processed.append(str(sample))
@@ -135,5 +148,7 @@ def process_sample_pipeline(
                 quarantine.parent.mkdir(parents=True, exist_ok=True)
                 print(f"{type(e).__name__} for {sample}; moving to {quarantine}")
                 shutil.move(str(sample), str(quarantine))
+                if processed_root is not None:
+                    shutil.rmtree(out, ignore_errors=True)
                 quarantined.append(str(sample))
     return processed, quarantined
