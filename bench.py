@@ -103,7 +103,14 @@ def bench_arbitrary_points():
     """ARBITRARY-point (non-lattice) query throughput via the MXU-fused
     Pallas kernel (IFNet.query_fused) — the reference's grid_sample gather
     path analog (reference model/ifnet.py:82-120); XLA gathers measure
-    ~0.2M points/s on the same workload."""
+    ~0.2M points/s on the same workload.
+
+    Returns (device_resident_pps, host_loop_pps):
+      * device-resident — points pre-staged on device, pyramid pre-encoded,
+        ONE jitted query call, scalar pull (the kernel's own throughput).
+      * host-loop — the evaluate_points API path with its per-call numpy
+        staging / result transfer (what a naive caller sees; transfer-bound
+        through a tunneled chip)."""
     from sv3d_tpu.config import IFNetConfig
     from sv3d_tpu.inference.dense_grid import evaluate_points
     from sv3d_tpu.models.ifnet import IFNet
@@ -117,15 +124,83 @@ def bench_arbitrary_points():
         jax.random.uniform(rng, (n, 3), jnp.float32, -0.45, 0.45)
     )
     use_pallas = jax.default_backend() == "tpu"
-    kw = dict(tile_points=n, use_pallas=use_pallas)  # one tile: no per-chunk
-    evaluate_points(model, variables, grid, pts, **kw)  # host roundtrips; warm
     rt = _roundtrip_cost()
+
+    # --- device-resident: stage once, one jit, scalar pull ---
+    encode = jax.jit(lambda v, g: model.apply(v, g, train=False, method=IFNet.encode))
+    levels = encode(variables, grid)
+    query = jax.jit(
+        lambda v, lv, p: jax.nn.sigmoid(
+            model.apply(v, lv, p, mesh="local", method=IFNet.query_fused)
+        )
+        if use_pallas
+        else jax.nn.sigmoid(model.apply(v, lv, p, method=IFNet.query))
+    )
+    pts_dev = jnp.asarray(pts)[None]
+
+    def run_dev():
+        return float(jnp.sum(query(variables, levels, pts_dev)[0, :8]))
+
+    run_dev()  # compile + warmup
+    run_dev()
+    dev_times = []
+    for _ in range(N_TIMED):
+        t0 = time.perf_counter()
+        run_dev()
+        dev_times.append(time.perf_counter() - t0 - rt)
+    dev_pps = n / min(dev_times)
+
+    # --- host-loop API path (one tile: a single staging round-trip) ---
+    kw = dict(tile_points=n, use_pallas=use_pallas)
+    evaluate_points(model, variables, grid, pts, **kw)  # warm
     times = []
     for _ in range(N_TIMED):
         t0 = time.perf_counter()
         evaluate_points(model, variables, grid, pts, **kw)
         times.append(time.perf_counter() - t0 - rt)
-    return n / min(times)
+    return dev_pps, n / min(times)
+
+
+def bench_reference_scheme():
+    """MEASURED baseline on the SAME chip: the reference's dense-evaluation
+    scheme (reference model/ifnet.py:215-229) — the full conv pyramid is
+    re-encoded for EVERY chunk of num_points*batch_size = 32,768 query
+    points, queried with exact f32 gathers (the torch grid_sample analog).
+    This turns bench_points' vs_baseline into an apples-to-apples number
+    instead of a V100 FLOP estimate."""
+    from sv3d_tpu.config import IFNetConfig
+    from sv3d_tpu.models.ifnet import IFNet
+
+    model = IFNet(IFNetConfig.for_net_res(128))
+    rng = jax.random.PRNGKey(0)
+    grid = (jax.random.uniform(rng, (1, *DIMS, 1)) > 0.97).astype(jnp.float32)
+    variables = model.init(rng, grid, jnp.zeros((1, 8, 3)), train=False)
+
+    chunk = 32768  # reference num_points=2048 * batch_size=16
+    n_chunks = 4   # enough to amortize; each chunk re-runs the encoder
+    pts = jax.random.uniform(rng, (n_chunks, 1, chunk, 3), jnp.float32, -0.45, 0.45)
+
+    # encode + gather-query per chunk — IFNet.__call__, exactly the
+    # reference's network(x, pi) loop body
+    step = jax.jit(
+        lambda v, g, p: jax.nn.sigmoid(model.apply(v, g, p, train=False))
+    )
+
+    def run():
+        acc = 0.0
+        for i in range(n_chunks):
+            acc += float(jnp.sum(step(variables, grid, pts[i])[0, :8]))
+        return acc
+
+    rt = _roundtrip_cost()
+    run()  # compile + warmup
+    run()
+    times = []
+    for _ in range(N_TIMED):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0 - n_chunks * rt)
+    return n_chunks * chunk / min(times)
 
 
 def bench_scene():
@@ -220,21 +295,30 @@ def bench_scene():
 
 def main():
     pps = bench_points()
-    arb_pps = bench_arbitrary_points()
+    ref_pps = bench_reference_scheme()
+    arb_dev_pps, arb_host_pps = bench_arbitrary_points()
     scene_s, device_s, mc_s = bench_scene()
+    # measured same-chip baseline for sec/scene: the reference scheme over the
+    # same 12.95M-point sweep, plus this run's own marching-cubes time
+    n_sweep = (DIMS[0] * RES_INCREASE) * (DIMS[1] * RES_INCREASE) * (DIMS[2] * RES_INCREASE)
+    ref_scene_s = n_sweep / ref_pps + mc_s
     print(
         json.dumps(
             {
                 "metric": "occupancy query points/sec/chip (dense 278x208x224 sweep, IF-Net-128)",
                 "value": round(pps, 1),
                 "unit": "points/s",
-                "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+                "vs_baseline": round(pps / ref_pps, 3),
+                "reference_scheme_points_per_sec": round(ref_pps, 1),
+                "vs_v100_estimate": round(pps / BASELINE_POINTS_PER_SEC, 3),
                 "sec_per_scene_image_to_mesh": round(scene_s, 3),
                 "sec_per_scene_device": round(device_s, 3),
                 "sec_per_scene_marching_cubes": round(mc_s, 3),
-                "sec_per_scene_vs_baseline": round(BASELINE_SEC_PER_SCENE / scene_s, 3),
-                "arbitrary_points_per_sec": round(arb_pps, 1),
-                "note": "baselines are FLOP-argument estimates for the reference on V100 (1.0M pts/s; 15 s/scene at the same 12.95M-point resolution), not measurements",
+                "sec_per_scene_vs_baseline": round(ref_scene_s / scene_s, 3),
+                "reference_scheme_sec_per_scene": round(ref_scene_s, 3),
+                "arbitrary_points_per_sec": round(arb_dev_pps, 1),
+                "arbitrary_points_per_sec_host_loop": round(arb_host_pps, 1),
+                "note": "vs_baseline = measured on THIS chip vs the reference's own per-chunk re-encoding scheme (model/ifnet.py:215-229) run on the same chip; vs_v100_estimate keeps the r1 FLOP-argument context (1.0M pts/s / 15 s per scene on V100)",
             }
         )
     )
