@@ -323,6 +323,7 @@ class IFNet(nn.Module):
         row_offset=0,
         compute_dtype=jnp.bfloat16,
         use_pallas_mlp: bool | None = None,
+        stop_stage: str | None = None,
     ) -> jnp.ndarray:
         """Evaluate occupancy logits on a slab of the DENSE LATTICE over
         [-0.5, 0.5]^3 (rows [row_offset, row_offset+slab_rows) of lattice
@@ -381,10 +382,22 @@ class IFNet(nn.Module):
         # displacement-major contiguous concat: (B, 7*sumC, n_slab)
         f = jnp.concatenate([x for d in feats for x in d], axis=1)
 
+        if stop_stage == "resizes":
+            # diagnostic truncation (scripts/profile_sweep.py): cost of the
+            # displaced resizes + concat alone, reduced to keep shapes tiny
+            return jnp.sum(f.astype(jnp.float32), axis=1).reshape(
+                -1, slab_rows, r[1], r[2]
+            )
+
         if use_pallas_mlp is None:
             # default: real kernel on TPU only; the interpreter emulation off
             # TPU is far slower than the XLA einsum path
             use_pallas_mlp = jax.default_backend() == "tpu"
+        if stop_stage == "fc0":
+            w1f = self.fc0_kernel.astype(compute_dtype)
+            h = jnp.einsum("hf,bfn->bhn", w1f, f, preferred_element_type=jnp.float32)
+            return jnp.sum(h, axis=1).reshape(-1, slab_rows, r[1], r[2])
+
         if use_pallas_mlp and f.shape[0] == 1:
             from sv3d_tpu.ops.pallas.mlp import default_interpret, fused_point_mlp
 
