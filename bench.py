@@ -51,7 +51,7 @@ BASELINE_POINTS_PER_SEC = 1.0e6  # estimate; see module docstring
 BASELINE_SEC_PER_SCENE = 15.0  # estimate; see module docstring
 DIMS = (139, 104, 112)
 RES_INCREASE = 2
-SLAB_ROWS = 2
+SLAB_ROWS = 4  # rows=4 measured fastest post concat-alignment (profile_sweep)
 N_TIMED = 3
 
 

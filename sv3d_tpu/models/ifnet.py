@@ -51,7 +51,12 @@ from sv3d_tpu.ops.grid_sample import (
     flatten_grid,
     sample_trilinear_flat,
 )
-from sv3d_tpu.ops.lattice import axis_matrices, displaced_resizes_cm
+from sv3d_tpu.ops.lattice import (
+    axis_matrices,
+    axis_taps_triple,
+    displaced_resizes_cm,
+    displaced_resizes_take,
+)
 
 
 class _ConvBlock(nn.Module):
@@ -324,6 +329,8 @@ class IFNet(nn.Module):
         compute_dtype=jnp.bfloat16,
         use_pallas_mlp: bool | None = None,
         stop_stage: str | None = None,
+        axis0_window: bool = True,
+        resize_mode: str = "matmul",
     ) -> jnp.ndarray:
         """Evaluate occupancy logits on a slab of the DENSE LATTICE over
         [-0.5, 0.5]^3 (rows [row_offset, row_offset+slab_rows) of lattice
@@ -340,42 +347,109 @@ class IFNet(nn.Module):
         displacements) and the whole first layer is ONE layout-clean K=2583
         matmul; interleaved (c*7+d) orders force layout copies that measured
         8x slower.  Keep slab_rows small (2-4) so the concatenated feature
-        tensor stays a few hundred MB."""
+        tensor stays a few hundred MB.
+
+        axis0_window exploits the bandedness of the axis-0 interpolation
+        matrix: a slab's output rows only read a small static window of input
+        rows (slab span + displacement shift + hat support), so the volume is
+        dynamic-sliced to that window before the contraction instead of
+        contracting densely over all of axis 0.  Without it every slab
+        re-reads every level's FULL volume — profiled at 96% of the sweep
+        time at full scale (scripts/profile_sweep.py: the resize stage alone
+        ran at 17.7 Mpts/s while fc0 + the whole MLP added ~4%).  Dropped
+        columns carry exactly-zero hat weights, so results are unchanged up
+        to f32 summation order."""
         cfg = self.config
         r = tuple(int(x) * res_increase for x in resolution)
         r0p = -(-r[0] // slab_rows) * slab_rows  # padded row count
         n_slab = slab_rows * r[1] * r[2]
 
-        w1 = self.fc0_kernel.astype(compute_dtype)
+        # Sublane-align the feature concat: pieces are stacked along the
+        # (8-tiled) channel axis, and the C=1 raw-grid level at the front of
+        # each displacement block puts EVERY later piece at an offset 1 mod 8
+        # — profiled at 451 ms of a 790 ms full-scale sweep (the concat
+        # degenerates into sublane-realignment copies).  Padding that level
+        # to 8 zero channels aligns all pieces (all other C are multiples of
+        # 8) and pads fc0 with matching zero columns — exact same logits.
+        chans = list(cfg.feature_channels)
+        chans8 = [max(-(-ch // 8) * 8, 8) for ch in chans]
+        sum_c, sum_c8 = sum(chans), sum(chans8)
+        if sum_c8 != sum_c:
+            cols = []
+            for d in range(7):
+                off8 = 0
+                for ch, ch8 in zip(chans, chans8):
+                    cols.extend(d * sum_c8 + off8 + cc for cc in range(ch))
+                    off8 += ch8
+            w1 = (
+                jnp.zeros((self.fc0_kernel.shape[0], 7 * sum_c8), compute_dtype)
+                .at[:, jnp.asarray(np.asarray(cols, np.int32))]
+                .set(self.fc0_kernel.astype(compute_dtype))
+            )
+        else:
+            w1 = self.fc0_kernel.astype(compute_dtype)
 
-        # feats[d][l]: (B, C_l, n_slab) resized features per displacement/level
+        # feats[d][l]: (B, C8_l, n_slab) resized features per displacement/level
         feats = [[] for _ in range(7)]
-        for flat, dims in levels:
+        for (flat, dims), ch8 in zip(levels, chans8):
             b, c, _ = flat.shape
             vol = flat.reshape(b, c, *dims).astype(compute_dtype)
+            if ch8 != c:
+                vol = jnp.pad(vol, ((0, 0), (0, ch8 - c), (0, 0), (0, 0), (0, 0)))
+                c = ch8
             # per-axis interpolation matrices (numpy constants)
             m0c_full, m0m_full, m0p_full = axis_matrices(
                 r[0], dims[0], cfg.align_corners, cfg.displacement
             )
             pad0 = ((0, r0p - r[0]), (0, 0))
-            mats0 = tuple(
-                jax.lax.dynamic_slice(
-                    jnp.asarray(np.pad(m, pad0), dtype=compute_dtype),
-                    (row_offset, 0),
-                    (slab_rows, dims[0]),
-                )
+            mats0_padded = tuple(
+                jnp.asarray(np.pad(m, pad0), dtype=compute_dtype)
                 for m in (m0c_full, m0m_full, m0p_full)
             )
-            mats1 = tuple(
-                jnp.asarray(m, dtype=compute_dtype)
-                for m in axis_matrices(r[1], dims[1], cfg.align_corners, cfg.displacement)
-            )
-            mats2 = tuple(
-                jnp.asarray(m, dtype=compute_dtype)
-                for m in axis_matrices(r[2], dims[2], cfg.align_corners, cfg.displacement)
-            )
 
-            vols7 = displaced_resizes_cm(vol, mats0, mats1, mats2)
+            # static input-row window for this level (see docstring)
+            g0 = dims[0]
+            a_aff = 0.5 * (g0 - 1) if cfg.align_corners else 0.5 * g0
+            b_aff = 0.5 * (g0 - 1)
+            step = 2.0 / max(r[0] - 1, 1)  # [-1, 1] units per output row
+            disp_rows = cfg.displacement * a_aff
+            span = a_aff * step * max(slab_rows - 1, 0)
+            win = int(np.ceil(span + 2.0 * disp_rows + 4.0))
+            if axis0_window and win < g0:
+                # first input row any displaced hat of this slab can touch,
+                # minus margin; row_offset may be traced
+                lo_f = a_aff * (step * row_offset - 1.0) + b_aff - (disp_rows + 1.5)
+                lo = jnp.clip(jnp.floor(lo_f).astype(jnp.int32), 0, g0 - win)
+                vol = jax.lax.dynamic_slice(
+                    vol, (0, 0, lo, 0, 0), (b, c, win, dims[1], dims[2])
+                )
+                mats0 = tuple(
+                    jax.lax.dynamic_slice(m, (row_offset, lo), (slab_rows, win))
+                    for m in mats0_padded
+                )
+            else:
+                mats0 = tuple(
+                    jax.lax.dynamic_slice(m, (row_offset, 0), (slab_rows, g0))
+                    for m in mats0_padded
+                )
+            if resize_mode == "take":
+                taps1 = axis_taps_triple(
+                    r[1], dims[1], cfg.align_corners, cfg.displacement
+                )
+                taps2 = axis_taps_triple(
+                    r[2], dims[2], cfg.align_corners, cfg.displacement
+                )
+                vols7 = displaced_resizes_take(vol, mats0, taps1, taps2)
+            else:
+                mats1 = tuple(
+                    jnp.asarray(m, dtype=compute_dtype)
+                    for m in axis_matrices(r[1], dims[1], cfg.align_corners, cfg.displacement)
+                )
+                mats2 = tuple(
+                    jnp.asarray(m, dtype=compute_dtype)
+                    for m in axis_matrices(r[2], dims[2], cfg.align_corners, cfg.displacement)
+                )
+                vols7 = displaced_resizes_cm(vol, mats0, mats1, mats2)
             for d, vd in enumerate(vols7):
                 feats[d].append(vd.reshape(b, c, n_slab))
 
@@ -394,8 +468,7 @@ class IFNet(nn.Module):
             # TPU is far slower than the XLA einsum path
             use_pallas_mlp = jax.default_backend() == "tpu"
         if stop_stage == "fc0":
-            w1f = self.fc0_kernel.astype(compute_dtype)
-            h = jnp.einsum("hf,bfn->bhn", w1f, f, preferred_element_type=jnp.float32)
+            h = jnp.einsum("hf,bfn->bhn", w1, f, preferred_element_type=jnp.float32)
             return jnp.sum(h, axis=1).reshape(-1, slab_rows, r[1], r[2])
 
         if use_pallas_mlp and f.shape[0] == 1:
@@ -406,7 +479,7 @@ class IFNet(nn.Module):
             ff = jnp.pad(f[0], ((0, 0), (0, n_pad))) if n_pad else f[0]
             k, bia = self.mlp_kernels, self.mlp_biases
             logits = fused_point_mlp(
-                ff, k[0], bia[0], k[1], bia[1], k[2], bia[2], k[3], bia[3],
+                ff, w1, bia[0], k[1], bia[1], k[2], bia[2], k[3], bia[3],
                 tile=tile, interpret=default_interpret(),
             )[None, :n_slab]
         else:

@@ -64,6 +64,85 @@ def axis_matrices(
     )
 
 
+def axis_taps(r: int, g: int, align_corners: bool, displacement: float = 0.0):
+    """Static 2-tap interpolation data for one lattice axis: per output row
+    the floor/ceil input indices and their hat weights (zeroed out of range —
+    grid_sample padding_mode='zeros').  The take+blend formulation of the
+    banded interp_matrix: two static gathers and a VPU blend instead of a
+    small-K matmul (K = the coarse level's axis size, 6-56, runs the MXU at
+    5-15% efficiency — profiled as ~95% of dense-sweep time at full scale)."""
+    x = lattice_coords(r) + displacement
+    x = np.asarray(x, np.float64)
+    if align_corners:
+        ix = (x + 1.0) * 0.5 * (g - 1.0)
+    else:
+        ix = ((x + 1.0) * g - 1.0) * 0.5
+    i0 = np.floor(ix)
+    f = ix - i0
+    w0 = (1.0 - f) * ((i0 >= 0) & (i0 <= g - 1))
+    w1 = f * ((i0 + 1 >= 0) & (i0 + 1 <= g - 1))
+    return (
+        np.clip(i0, 0, g - 1).astype(np.int32),
+        w0.astype(np.float32),
+        np.clip(i0 + 1, 0, g - 1).astype(np.int32),
+        w1.astype(np.float32),
+    )
+
+
+def axis_taps_triple(r: int, g: int, align_corners: bool, displacement: float):
+    """(center, minus, plus) taps for one axis (the take+blend twin of
+    axis_matrices)."""
+    return (
+        axis_taps(r, g, align_corners, 0.0),
+        axis_taps(r, g, align_corners, -displacement),
+        axis_taps(r, g, align_corners, +displacement),
+    )
+
+
+def take_blend(v: jnp.ndarray, axis: int, taps, dtype=None) -> jnp.ndarray:
+    """2-tap interpolation along one axis with STATIC indices: two constant
+    gathers (compile to data movement, no MXU) + an elementwise blend."""
+    i0, w0, i1, w1 = taps
+    dtype = v.dtype if dtype is None else dtype
+    shape = [1] * v.ndim
+    shape[axis] = len(i0)
+    if v.shape[axis] == 0:  # degenerate level (tiny test grids): all padding
+        out_shape = list(v.shape)
+        out_shape[axis] = len(i0)
+        return jnp.zeros(out_shape, dtype)
+    w0 = jnp.asarray(w0, dtype).reshape(shape)
+    w1 = jnp.asarray(w1, dtype).reshape(shape)
+    return (
+        jnp.take(v, jnp.asarray(i0), axis=axis) * w0
+        + jnp.take(v, jnp.asarray(i1), axis=axis) * w1
+    )
+
+
+def displaced_resizes_take(vol: jnp.ndarray, mats0, taps1, taps2) -> list:
+    """All 7 displaced resizes of a channel-major (B, C, g0, g1, g2) volume
+    with the axis-0 interpolation as a (windowed) banded matmul and axes 1/2
+    as take+blend.  Same sharing structure and displacement order as
+    displaced_resizes_cm."""
+    c0, m0, p0 = mats0
+    tc1, tm1, tp1 = taps1
+    tc2, tm2, tp2 = taps2
+
+    v0c = jnp.einsum("ai,bcijk->bcajk", c0, vol)
+    v01c = take_blend(v0c, 3, tc1)
+
+    out = [None] * 7
+    out[0] = take_blend(v01c, 4, tc2)
+    out[5] = take_blend(v01c, 4, tm2)
+    out[6] = take_blend(v01c, 4, tp2)
+    out[3] = take_blend(take_blend(v0c, 3, tm1), 4, tc2)
+    out[4] = take_blend(take_blend(v0c, 3, tp1), 4, tc2)
+    v0m = jnp.einsum("ai,bcijk->bcajk", m0, vol)
+    v0p = jnp.einsum("ai,bcijk->bcajk", p0, vol)
+    out[1] = take_blend(take_blend(v0m, 3, tc1), 4, tc2)
+    out[2] = take_blend(take_blend(v0p, 3, tc1), 4, tc2)
+    return out
+
+
 def resize_volume_cm(vol: jnp.ndarray, m0, m1, m2) -> jnp.ndarray:
     """Apply separable interpolation matrices to a CHANNEL-MAJOR volume
     (B, C, g0, g1, g2) -> (B, C, r0, r1, r2).  Three MXU contractions."""

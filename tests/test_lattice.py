@@ -78,3 +78,49 @@ def test_axis_matrices_displacement():
     shift = 0.1 * 0.5 * 7
     np.testing.assert_allclose(col_center(m)[1:-1], xc[1:-1] - shift, atol=1e-5)
     np.testing.assert_allclose(col_center(p)[1:-1], xc[1:-1] + shift, atol=1e-5)
+
+
+@pytest.mark.parametrize("net_res", [128, 32])
+def test_axis0_window_matches_dense(net_res):
+    """The banded axis-0 window (dynamic-sliced input rows) must reproduce
+    the dense axis-0 contraction at every slab position, including the edge
+    and padded-beyond-edge offsets: dropped columns carry exactly-zero hat
+    weights.  (The window is the fix for the full-scale sweep spending 96%
+    of its time re-reading full volumes per slab — scripts/profile_sweep.py)."""
+    cfg = IFNetConfig.for_net_res(net_res)
+    model = IFNet(cfg)
+    key = jax.random.PRNGKey(0)
+    dims = (35, 13, 14)  # axis 0 long enough for the window to engage
+    grid = jax.random.normal(key, (1, *dims, 1))
+    variables = model.init(key, grid, jnp.zeros((1, 8, 3)), train=False)
+    levels = model.apply(variables, grid, train=False, method=IFNet.encode)
+
+    slab = 2
+    r0 = dims[0] * 2
+    for off in (0, 1, 33, r0 - slab, r0):  # interior, edges, padded
+        kw = dict(
+            method=IFNet.query_lattice, compute_dtype=jnp.float32,
+            use_pallas_mlp=False,
+        )
+        dense = model.apply(
+            variables, levels, dims, 2, slab, jnp.asarray(off, jnp.int32),
+            axis0_window=False, resize_mode="matmul", **kw,
+        )
+        windowed = model.apply(
+            variables, levels, dims, 2, slab, jnp.asarray(off, jnp.int32),
+            axis0_window=True, resize_mode="matmul", **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(windowed), np.asarray(dense), rtol=1e-5, atol=1e-5,
+            err_msg=f"offset {off}",
+        )
+        # the take+blend resize (static gathers + VPU blend) must match the
+        # banded-matmul formulation too
+        taken = model.apply(
+            variables, levels, dims, 2, slab, jnp.asarray(off, jnp.int32),
+            axis0_window=True, resize_mode="take", **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(taken), np.asarray(dense), rtol=1e-5, atol=1e-5,
+            err_msg=f"take offset {off}",
+        )
