@@ -89,30 +89,15 @@ def _lattice_sweep_sharded_fn(
 
 
 @lru_cache(maxsize=64)
-def _points_query_fn(model: IFNet, use_pallas: bool):
-    if use_pallas:
-        return jax.jit(
-            lambda v, lv, p: jax.nn.sigmoid(
-                model.apply(v, lv, p, mesh="local", method=IFNet.query_fused)
-            )
-        )
-    return jax.jit(
-        lambda v, lv, p: jax.nn.sigmoid(model.apply(v, lv, p, method=IFNet.query))
-    )
+def _points_sweep_fn(model: IFNet, use_pallas: bool, mesh):
+    """All query tiles in ONE jitted program: pts (n_tiles, 1, tile, 3) ->
+    (n_tiles, tile) sigmoid occupancy via lax.map over tiles.  The r1 version
+    round-tripped the host per tile (numpy staging + result transfer), which
+    measured 1.2M points/s against the kernel's own 2.7M (BENCH_r02) — the
+    loop now lives on device and the API pays ONE transfer each way.
 
-
-@lru_cache(maxsize=64)
-def _points_query_sharded_fn(model: IFNet, mesh, use_pallas: bool):
-    """Arbitrary-point query with the point axis sharded over ALL mesh
-    devices (("dp", "sp") flattened — inference batches are usually B=1, so
-    the dp axis would otherwise idle).  The fused Pallas path runs per-shard
-    under shard_map (pallas_call cannot be partitioned by GSPMD); each shard
-    buckets + interpolates its own contiguous point block.  Composes the two
-    headline TPU features — the MXU query kernel and the device mesh — that
-    the reference serves with a single-GPU chunked loop
-    (reference model/ifnet.py:215-229)."""
-    from jax.sharding import PartitionSpec as P
-
+    With a mesh each tile's points are sharded over ALL devices (dp and sp
+    flattened) and the fused kernel runs per-shard under shard_map."""
     if use_pallas:
         body = lambda v, lv, p: jax.nn.sigmoid(
             model.apply(v, lv, p, mesh="local", method=IFNet.query_fused)
@@ -121,15 +106,22 @@ def _points_query_sharded_fn(model: IFNet, mesh, use_pallas: bool):
         body = lambda v, lv, p: jax.nn.sigmoid(
             model.apply(v, lv, p, method=IFNet.query)
         )
-    return jax.jit(
-        jax.shard_map(
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        body = jax.shard_map(
             body,
             mesh=mesh,
             in_specs=(P(), P(), P(None, ("dp", "sp"))),
             out_specs=P(None, ("dp", "sp")),
             check_vma=False,
         )
-    )
+
+    @jax.jit
+    def sweep(v, lv, pts):
+        return jax.lax.map(lambda p: body(v, lv, p)[0], pts)
+
+    return sweep
 
 
 def evaluate_on_grid(
@@ -214,31 +206,24 @@ def evaluate_points(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     levels = _encode_fn(model)(variables, grid)
-    if mesh is not None:
-        query = _points_query_sharded_fn(model, mesh, use_pallas)
-        n_shards = mesh.shape["dp"] * mesh.shape["sp"]
-    else:
-        query = _points_query_fn(model, use_pallas)
-        n_shards = 1
+    n_shards = mesh.shape["dp"] * mesh.shape["sp"] if mesh is not None else 1
 
     pts = np.asarray(points, dtype=np.float32)
     m = pts.shape[0]
     tile = min(tile_points, m)
     tile = max((tile // n_shards) * n_shards, n_shards)
     n_tiles = -(-m // tile)
-    padded = np.zeros((n_tiles * tile, 3), dtype=np.float32)
-    padded[:m] = pts
+    padded = np.zeros((n_tiles, 1, tile, 3), dtype=np.float32)
+    padded.reshape(-1, 3)[:m] = pts
 
     if mesh is not None:
         from sv3d_tpu.parallel.mesh import replicate
 
         levels = jax.device_put(levels, replicate(mesh))
 
-    out = np.empty(n_tiles * tile, dtype=np.float32)
-    for i in range(n_tiles):
-        chunk = jnp.asarray(padded[i * tile : (i + 1) * tile])[None]
-        out[i * tile : (i + 1) * tile] = np.asarray(query(variables, levels, chunk)[0])
-    return out[:m]
+    sweep = _points_sweep_fn(model, use_pallas, mesh)
+    out = np.asarray(sweep(variables, levels, jnp.asarray(padded)))
+    return out.reshape(-1)[:m]
 
 
 def implicit_to_mesh(

@@ -14,11 +14,21 @@ identity, so the same trainer code runs unchanged in both modes.
 
 Division of labor per process:
   * DataLoader(process_index, process_count) loads rows
-    [i*B/P, (i+1)*B/P) of every global batch (sv3d_tpu/data/loader.py).
+    [i*B/P, (i+1)*B/P) of every global batch (sv3d_tpu/data/loader.py);
+    partial final batches are wraparound-padded so slices stay equal.
   * shard_batch assembles the global arrays from per-process local data
     (jax.make_array_from_process_local_data).
-  * BaseTrainer gates CheckpointManager and MetricLogger on
-    is_main_process() (the reference's PL equivalent: rank-zero-only hooks).
+  * Checkpoint saves are orbax COLLECTIVES: every process participates
+    (ocp sync barriers would deadlock a skipped rank); only process 0 does
+    the filesystem bookkeeping (CheckpointManager(primary=...)).  The
+    MetricLogger is rank-0-only (plain file writes, no collectives).
+
+Known limitations (multi-host runs only):
+  * subsample_points > 0 raises NotImplementedError — the host labeling of
+    projected clouds needs the full batch locally; precompute occupancies.
+  * Config.visualize should stay off: visualization is rank-0-gated but
+    runs collective compute (eval steps, dense sweeps), which would deadlock
+    the other ranks.  Visualize from a single-process run of a checkpoint.
 """
 
 from __future__ import annotations
