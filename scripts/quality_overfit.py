@@ -24,6 +24,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--net_res", type=int, default=128)
+    p.add_argument(
+        "--scale_factor", type=int, default=1,
+        help="2 = the reference report's half-scale viability config "
+        "(70x52x56 grid; pair with --net_res 32)",
+    )
     p.add_argument("--datasetdir", default="data")
     p.add_argument("--num_points", type=int, default=2048)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -65,7 +70,7 @@ def main():
         pretrain_unet=args.pretrain_unet,
         precision=args.precision,
         fused_query=args.fused_query,
-        scale_factor=1,
+        scale_factor=args.scale_factor,
         num_points=args.num_points,
         batch_size=1,
         max_epoch=10_000,
@@ -111,11 +116,16 @@ def main():
     mesh_s = time.time() - t0
     print(f"mesh extracted in {mesh_s:.1f}s -> {pred_path}", flush=True)
 
-    # normalize both meshes into unit space (reference convert_to_scaled_obj)
+    # normalize both meshes into unit space (reference convert_to_scaled_obj).
+    # The prediction lives in the RUN's grid coords (cfg.dims — 70x52x56 at
+    # half scale); the fixture GT mesh is always in FULL-dims grid coords.
+    from sv3d_tpu.config import FULL_DIMS
+
     dims = np.asarray(cfg.dims, dtype=np.float64)
+    full_dims = np.asarray(FULL_DIMS, dtype=np.float64)
     pred = load_obj(pred_path).apply_translation(-dims / 2).apply_scale(1.0 / dims)
     gt = load_obj(Path(args.datasetdir) / "raw" / "overfit" / "00000" / "mesh.obj")
-    gt.apply_translation(-dims / 2).apply_scale(1.0 / dims)
+    gt.apply_translation(-full_dims / 2).apply_scale(1.0 / full_dims)
 
     metrics = eval_mesh(pred, gt, -0.5, 0.5, n_points=args.eval_points)
     result = {
@@ -126,12 +136,22 @@ def main():
         # single cold extraction: dominated by XLA/Mosaic compilation of the
         # sweep (the warm number is bench.py's scene_seconds, ~3 s)
         "mesh_seconds_cold": round(mesh_s, 2),
-        "protocol": "end_to_end" if args.use_unet else "viability_gt_depth",
+        "protocol": (
+            "pretrained_unet" if (args.use_unet and args.pretrain_unet)
+            else "end_to_end" if args.use_unet
+            else "viability_gt_depth"
+        ),
+        "scale_factor": args.scale_factor,
+        "net_res": args.net_res,
         "iou": round(metrics["iou"], 4),
         "chamfer_l2": round(metrics["chamfer_l2"], 6),
         "normals": round(metrics["normals"], 4),
+        # reference report Table 1 rows (BASELINE.md): pretrained-UNet 0.43,
+        # end-to-end 0.40, viability (GT depth, half-scale) 0.48
         "reference": (
-            {"iou": 0.40, "chamfer_l2": 0.0094, "normals": 0.77}
+            {"iou": 0.43, "chamfer_l2": 0.0065, "normals": 0.82}
+            if (args.use_unet and args.pretrain_unet)
+            else {"iou": 0.40, "chamfer_l2": 0.0094, "normals": 0.77}
             if args.use_unet
             else {"iou": 0.48, "chamfer_l2": 0.0007, "normals": 0.82}
         ),
