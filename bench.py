@@ -275,7 +275,9 @@ def bench_scene():
         value = evaluate_on_grid_device(
             ifnet, ifnet_vars, levels, DIMS, RES_INCREASE, SLAB_ROWS
         )
-        value_np = np.asarray(value)[:res0]  # device->host pull (part of the work)
+        # device->host pull (part of the work): f16 on-device cast halves the
+        # 52 MB grid — the pull dominates warm latency (see evaluate_on_grid)
+        value_np = np.asarray(value.astype(jnp.float16)[:res0]).astype(np.float32)
         t1 = time.perf_counter()
         visualize_sdf(1.0 - value_np, out_path, level=0.5)
         t2 = time.perf_counter()

@@ -35,12 +35,18 @@ def test_evaluate_on_grid_shape_and_range(small_model):
 
 def test_evaluate_on_grid_device_matches_host(small_model):
     model, variables, grid, dims = small_model
-    host = evaluate_on_grid(model, variables, grid, dims, slab_rows=4)
+    host = evaluate_on_grid(
+        model, variables, grid, dims, slab_rows=4, transfer_dtype=None
+    )
     levels = model.apply(variables, grid, train=False, method=IFNet.encode)
     dev = np.asarray(
         evaluate_on_grid_device(model, variables, levels, dims, slab_rows=4)
     )[: dims[0]]
     np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-6)
+    # default f16 device->host transfer quantizes the sigmoid field by at
+    # most ~2.5e-4 (f16 eps at 0.5 is 4.9e-4, round-to-nearest halves it)
+    f16 = evaluate_on_grid(model, variables, grid, dims, slab_rows=4)
+    np.testing.assert_allclose(f16, host, atol=5e-4)
 
 
 def test_evaluate_points_matches_grid_on_lattice(small_model):

@@ -21,7 +21,7 @@ REPO = Path(__file__).parent.parent
 sys.path.insert(0, str(REPO / "scripts"))
 
 N_GOOD, N_BAD = 8, 1
-SCALE = 8  # frustum dims (17, 13, 14)
+SCALE = 4  # frustum dims (35, 26, 28) — ceil(frustum) == round(FULL/scale) at this scale (they diverge at 8: 18 vs 17)
 
 
 @pytest.fixture(scope="module")
@@ -55,10 +55,12 @@ def test_pipeline_outputs_sane(synth_root):
     """Processed artifacts have the dataset layout and plausible content."""
     out = synth_root / "processed" / "synth" / "000" / "00000"
     grid = np.load(out / "depth_grid.npz")["grid"]
-    assert grid.shape == (17, 13, 14)
-    assert 20 < grid.sum() < 17 * 13 * 14 * 0.5  # sparse surface voxels
+    assert grid.shape == (35, 26, 28)
+    assert 50 < grid.sum() < 35 * 26 * 28 * 0.5  # sparse surface voxels
     occ = np.load(out / "occupancy_0.10.npz")
-    assert occ["points"].shape == (1500, 3)
+    # num_samples surface+noise points plus the 10% uniform tail
+    # (sample_points; reference mesh_occupancies.py:9-22)
+    assert occ["points"].shape == (1650, 3)
     assert 0.0 < occ["occupancies"].mean() < 0.6  # shell occupancy, not empty
     # mesh written back into the raw tree (SceneNetDataset reads it there)
     assert (synth_root / "raw" / "synth" / "000" / "00000" / "mesh.obj").exists()
@@ -131,7 +133,7 @@ def test_implicit_dataset_on_synth(synth_root):
         "train", synth_root, num_points=16, splitsdir="synth", scale_factor=SCALE
     )
     s = ds[0]
-    assert s["input"].shape == (17, 13, 14, 1)
+    assert s["input"].shape == (35, 26, 28, 1)
     assert s["points"].shape == (32, 3)
     assert s["occupancies"].shape == (32,)
     assert np.isfinite(s["target"]).all()
