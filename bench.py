@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault(
@@ -51,7 +52,8 @@ BASELINE_POINTS_PER_SEC = 1.0e6  # estimate; see module docstring
 BASELINE_SEC_PER_SCENE = 15.0  # estimate; see module docstring
 DIMS = (139, 104, 112)
 RES_INCREASE = 2
-SLAB_ROWS = 4  # rows=4 measured fastest post concat-alignment (profile_sweep)
+SLAB_ROWS = 8  # rows=8 fastest with the fused sweep tail (102.7 vs 98.1 M
+               # pts/s at rows=4; rows=2 92.3 — measured 2026-08-17)
 N_TIMED = 3
 
 
@@ -326,5 +328,28 @@ def main():
     )
 
 
+def _main_with_retry():
+    """First execution of a freshly AOT-compiled Mosaic kernel through the
+    tunneled chip intermittently takes the TPU worker down (~50% observed on
+    new fused-sweep variants; never once the persistent compile cache is
+    warm — see .jax_cache).  The compile cache entry is written at compile
+    time, before the crash, so re-exec'ing the process skips the crash
+    window entirely.  Bounded to 2 retries."""
+    try:
+        main()
+    except Exception as e:  # jax.errors.JaxRuntimeError, unstable worker
+        retries = int(os.environ.get("SV3D_BENCH_RETRY", "0"))
+        if "crashed or restarted" in str(e) and retries < 2:
+            sys.stderr.write(
+                f"bench: TPU worker crash (retry {retries + 1}/2), "
+                "re-exec with warm compile cache\n"
+            )
+            os.environ["SV3D_BENCH_RETRY"] = str(retries + 1)
+            sys.stderr.flush()
+            sys.stdout.flush()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()

@@ -319,6 +319,209 @@ class IFNet(nn.Module):
                 return fn(kernels, biases, levels, points)
         return _query_fused_impl(cfg, kernels, biases, levels, points, interpret, tile)
 
+    def _slab_axis0(
+        self, flat, dims, ch8, r, r0p, slab_rows, row_offset,
+        compute_dtype, axis0_window,
+    ):
+        """Channel-pad one pyramid level and slice its axis-0 input-row
+        window + interpolation matrices for the current slab (see the
+        axis0_window note in query_lattice).  Returns (vol, mats0) with vol
+        (B, ch8, win, g1, g2) and mats0 three (slab_rows, win) matrices."""
+        cfg = self.config
+        b, c, _ = flat.shape
+        vol = flat.reshape(b, c, *dims).astype(compute_dtype)
+        if ch8 != c:
+            vol = jnp.pad(vol, ((0, 0), (0, ch8 - c), (0, 0), (0, 0), (0, 0)))
+            c = ch8
+        # per-axis interpolation matrices (numpy constants)
+        m0c_full, m0m_full, m0p_full = axis_matrices(
+            r[0], dims[0], cfg.align_corners, cfg.displacement
+        )
+        pad0 = ((0, r0p - r[0]), (0, 0))
+        mats0_padded = tuple(
+            jnp.asarray(np.pad(m, pad0), dtype=compute_dtype)
+            for m in (m0c_full, m0m_full, m0p_full)
+        )
+
+        # static input-row window for this level (see query_lattice docstring)
+        g0 = dims[0]
+        a_aff = 0.5 * (g0 - 1) if cfg.align_corners else 0.5 * g0
+        b_aff = 0.5 * (g0 - 1)
+        step = 2.0 / max(r[0] - 1, 1)  # [-1, 1] units per output row
+        disp_rows = cfg.displacement * a_aff
+        span = a_aff * step * max(slab_rows - 1, 0)
+        win = int(np.ceil(span + 2.0 * disp_rows + 4.0))
+        if axis0_window and win < g0:
+            # first input row any displaced hat of this slab can touch,
+            # minus margin; row_offset may be traced
+            lo_f = a_aff * (step * row_offset - 1.0) + b_aff - (disp_rows + 1.5)
+            lo = jnp.clip(jnp.floor(lo_f).astype(jnp.int32), 0, g0 - win)
+            vol = jax.lax.dynamic_slice(
+                vol, (0, 0, lo, 0, 0), (b, c, win, dims[1], dims[2])
+            )
+            mats0 = tuple(
+                jax.lax.dynamic_slice(m, (row_offset, lo), (slab_rows, win))
+                for m in mats0_padded
+            )
+        else:
+            mats0 = tuple(
+                jax.lax.dynamic_slice(m, (row_offset, 0), (slab_rows, g0))
+                for m in mats0_padded
+            )
+        return vol, mats0
+
+    def _w0_block(self, li: int, compute_dtype) -> jnp.ndarray:
+        """fc0 columns for one pyramid level as a (H, 7*C8_l) block.
+
+        fc0's stored feature order is displacement-major over GLOBAL channels
+        (d * sumC + c_global, see setup); the fused sweep kernel wants
+        per-level blocks, displacement-major over the level's 8-padded
+        channels (d * C8_l + c), zero columns for the channel padding."""
+        chans = list(self.config.feature_channels)
+        c = chans[li]
+        c8 = max(-(-c // 8) * 8, 8)
+        sum_c = sum(chans)
+        cg = sum(chans[:li])
+        w = self.fc0_kernel
+        cols = np.asarray(
+            [d * sum_c + cg + cc for d in range(7) for cc in range(c)], np.int32
+        )
+        keep = np.asarray(
+            [d * c8 + cc for d in range(7) for cc in range(c)], np.int32
+        )
+        blk = jnp.zeros((w.shape[0], 7 * c8), compute_dtype)
+        return blk.at[:, jnp.asarray(keep)].set(
+            w[:, jnp.asarray(cols)].astype(compute_dtype)
+        )
+
+    def _query_lattice_fused(
+        self, levels: Pyramid, r, r0p, slab_rows, row_offset,
+        compute_dtype, axis0_window, interpret: bool, ta: int = 8,
+    ) -> jnp.ndarray:
+        """Fused-tail dense sweep: per level build only the axis-0/1 resized
+        partial products (plus, for deep levels, their fc0 pre-contraction)
+        and hand them to the fused Pallas kernel
+        (sv3d_tpu/ops/pallas/sweep.py) that finishes axis-2 + the MLP with
+        all intermediates in VMEM.  Returns (1, slab_rows, r1, r2) logits.
+
+        Replaces the f-tensor materialization that profiled at ~300 ms of
+        the 390 ms full-scale sweep (see sweep.py docstring)."""
+        from sv3d_tpu.ops.lattice import interp_matrix, lattice_coords
+        from sv3d_tpu.ops.pallas.sweep import (
+            fused_sweep_tail,
+            round8,
+            sweep_level_is_shallow,
+        )
+
+        cfg = self.config
+        h_dim = self.fc0_kernel.shape[0]
+        a_rows = slab_rows * r[1]
+        a_pad = -(-a_rows // ta) * ta
+        r2p = -(-r[2] // 128) * 128
+
+        v01_list, m2_list, specs, w0sh_blocks = [], [], [], []
+        for li, (flat, dims) in enumerate(levels):
+            c = cfg.feature_channels[li]
+            c8 = max(-(-c // 8) * 8, 8)
+            g2 = dims[2]
+            g2p = round8(g2)
+            shallow = sweep_level_is_shallow(c8, g2, r[2], h_dim)
+
+            vol, mats0 = self._slab_axis0(
+                flat, dims, c8, r, r0p, slab_rows, row_offset,
+                compute_dtype, axis0_window,
+            )
+            if shallow and g2p != g2:
+                # zero k-columns so the in-kernel dot rhs rows line up with
+                # the zero-padded m2 rows (sublane-aligned slices)
+                vol = jnp.pad(
+                    vol, ((0, 0),) * 4 + ((0, g2p - g2),)
+                )
+            mats1 = tuple(
+                jnp.asarray(m, dtype=compute_dtype)
+                for m in axis_matrices(
+                    r[1], dims[1], cfg.align_corners, cfg.displacement
+                )
+            )
+            c0, m0, p0 = mats0
+            c1, m1, p1 = mats1
+            ax0 = lambda m, v: jnp.einsum("ai,bcijk->bcajk", m, v)
+            v0c, v0m, v0p = ax0(c0, vol), ax0(m0, vol), ax0(p0, vol)
+
+            # axis-2 resize matrices, transposed + variant-stacked:
+            # m2all[v*g2p + k, y] = M2_v[y, k]
+            x2 = lattice_coords(r[2])
+            m2all = np.zeros((3 * g2p, r2p), np.float32)
+            for vi, dx in enumerate((0.0, -cfg.displacement, cfg.displacement)):
+                m2all[vi * g2p : vi * g2p + g2, : r[2]] = interp_matrix(
+                    x2 + dx, g2, cfg.align_corners
+                ).T
+            m2_list.append(jnp.asarray(m2all, compute_dtype))
+
+            if shallow:
+                # (B, slab, r1, C, g2p) per branch; stack branches on the
+                # (sublane-aligned) channel dim, merge (slab, r1) -> A
+                ax1s = lambda m, v: jnp.einsum("xj,bcajk->baxck", m, v)
+                v5 = jnp.concatenate(
+                    [
+                        ax1s(c1, v0c), ax1s(c1, v0m), ax1s(c1, v0p),
+                        ax1s(m1, v0c), ax1s(p1, v0c),
+                    ],
+                    axis=3,
+                )  # (B, slab, r1, 5C8, g2p)
+                v5 = v5.reshape(a_rows, 5 * c8, g2p)
+                if a_pad != a_rows:
+                    v5 = jnp.pad(v5, ((0, a_pad - a_rows), (0, 0), (0, 0)))
+                v01_list.append(v5.astype(compute_dtype))
+                w0sh_blocks.append(self._w0_block(li, compute_dtype))
+            else:
+                # fc0 pre-contraction at coarse g2: branch-stack on the
+                # channel dim, contract with the level's fc0 block, variant-
+                # concat on the (8-padded) k dim -> (A, 3*g2p, H)
+                ax1d = lambda m, v: jnp.einsum("xj,bcajk->bckax", m, v)
+                v5 = jnp.concatenate(
+                    [
+                        ax1d(c1, v0c), ax1d(c1, v0m), ax1d(c1, v0p),
+                        ax1d(m1, v0c), ax1d(p1, v0c),
+                    ],
+                    axis=1,
+                )  # (B, 5C8, g2, slab, r1)
+                v5 = v5.reshape(1, 5 * c8, g2, a_rows)
+                w0d = self._w0_block(li, compute_dtype)
+                gc = jnp.einsum(
+                    "hc,bcka->bakh", w0d[:, : 5 * c8], v5,
+                    preferred_element_type=jnp.float32,
+                )
+                gm = jnp.einsum(
+                    "hc,bcka->bakh", w0d[:, 5 * c8 : 6 * c8], v5[:, :c8],
+                    preferred_element_type=jnp.float32,
+                )
+                gp = jnp.einsum(
+                    "hc,bcka->bakh", w0d[:, 6 * c8 : 7 * c8], v5[:, :c8],
+                    preferred_element_type=jnp.float32,
+                )
+                kpad = ((0, 0), (0, 0), (0, g2p - g2), (0, 0))
+                gcat = jnp.concatenate(
+                    [jnp.pad(g, kpad) for g in (gc, gm, gp)], axis=2
+                )  # (B, A, 3*g2p, H)
+                gcat = gcat.reshape(a_rows, 3 * g2p, h_dim)
+                if a_pad != a_rows:
+                    gcat = jnp.pad(gcat, ((0, a_pad - a_rows), (0, 0), (0, 0)))
+                v01_list.append(gcat.astype(compute_dtype))
+            specs.append((c8, g2p, shallow))
+
+        w0sh = (
+            jnp.concatenate(w0sh_blocks, axis=1) if w0sh_blocks else None
+        )
+        k, bia = self.mlp_kernels, self.mlp_biases
+        out = fused_sweep_tail(
+            tuple(v01_list), tuple(m2_list), w0sh,
+            bia[0], k[1], bia[1], k[2], bia[2], k[3], bia[3],
+            specs=tuple(specs), ta=ta, r2p=r2p, interpret=interpret,
+            dtype=compute_dtype,
+        )
+        return out[:a_rows, : r[2]].reshape(1, slab_rows, r[1], r[2])
+
     def query_lattice(
         self,
         levels: Pyramid,
@@ -331,6 +534,7 @@ class IFNet(nn.Module):
         stop_stage: str | None = None,
         axis0_window: bool = True,
         resize_mode: str = "matmul",
+        fused_tail: bool | None = None,
     ) -> jnp.ndarray:
         """Evaluate occupancy logits on a slab of the DENSE LATTICE over
         [-0.5, 0.5]^3 (rows [row_offset, row_offset+slab_rows) of lattice
@@ -364,6 +568,24 @@ class IFNet(nn.Module):
         r0p = -(-r[0] // slab_rows) * slab_rows  # padded row count
         n_slab = slab_rows * r[1] * r[2]
 
+        # Fused-tail fast path (sv3d_tpu/ops/pallas/sweep.py): skip the f
+        # tensor entirely.  Auto on TPU for the unbatched sweep; tests opt
+        # in explicitly (interpreter mode off-TPU).
+        if fused_tail is None:
+            fused_tail = (
+                jax.default_backend() == "tpu"
+                and stop_stage is None
+                and levels.flats[0].shape[0] == 1
+                and all(min(d) >= 1 for d in levels.dims)
+            )
+        if fused_tail:
+            from sv3d_tpu.ops.pallas.mlp import default_interpret
+
+            return self._query_lattice_fused(
+                levels, r, r0p, slab_rows, row_offset, compute_dtype,
+                axis0_window, interpret=default_interpret(),
+            )
+
         # Sublane-align the feature concat: pieces are stacked along the
         # (8-tiled) channel axis, and the C=1 raw-grid level at the front of
         # each displacement block puts EVERY later piece at an offset 1 mod 8
@@ -392,46 +614,11 @@ class IFNet(nn.Module):
         # feats[d][l]: (B, C8_l, n_slab) resized features per displacement/level
         feats = [[] for _ in range(7)]
         for (flat, dims), ch8 in zip(levels, chans8):
-            b, c, _ = flat.shape
-            vol = flat.reshape(b, c, *dims).astype(compute_dtype)
-            if ch8 != c:
-                vol = jnp.pad(vol, ((0, 0), (0, ch8 - c), (0, 0), (0, 0), (0, 0)))
-                c = ch8
-            # per-axis interpolation matrices (numpy constants)
-            m0c_full, m0m_full, m0p_full = axis_matrices(
-                r[0], dims[0], cfg.align_corners, cfg.displacement
+            vol, mats0 = self._slab_axis0(
+                flat, dims, ch8, r, r0p, slab_rows, row_offset,
+                compute_dtype, axis0_window,
             )
-            pad0 = ((0, r0p - r[0]), (0, 0))
-            mats0_padded = tuple(
-                jnp.asarray(np.pad(m, pad0), dtype=compute_dtype)
-                for m in (m0c_full, m0m_full, m0p_full)
-            )
-
-            # static input-row window for this level (see docstring)
-            g0 = dims[0]
-            a_aff = 0.5 * (g0 - 1) if cfg.align_corners else 0.5 * g0
-            b_aff = 0.5 * (g0 - 1)
-            step = 2.0 / max(r[0] - 1, 1)  # [-1, 1] units per output row
-            disp_rows = cfg.displacement * a_aff
-            span = a_aff * step * max(slab_rows - 1, 0)
-            win = int(np.ceil(span + 2.0 * disp_rows + 4.0))
-            if axis0_window and win < g0:
-                # first input row any displaced hat of this slab can touch,
-                # minus margin; row_offset may be traced
-                lo_f = a_aff * (step * row_offset - 1.0) + b_aff - (disp_rows + 1.5)
-                lo = jnp.clip(jnp.floor(lo_f).astype(jnp.int32), 0, g0 - win)
-                vol = jax.lax.dynamic_slice(
-                    vol, (0, 0, lo, 0, 0), (b, c, win, dims[1], dims[2])
-                )
-                mats0 = tuple(
-                    jax.lax.dynamic_slice(m, (row_offset, lo), (slab_rows, win))
-                    for m in mats0_padded
-                )
-            else:
-                mats0 = tuple(
-                    jax.lax.dynamic_slice(m, (row_offset, 0), (slab_rows, g0))
-                    for m in mats0_padded
-                )
+            b, c = vol.shape[:2]
             if resize_mode == "take":
                 taps1 = axis_taps_triple(
                     r[1], dims[1], cfg.align_corners, cfg.displacement
