@@ -235,8 +235,21 @@ class IFNet(nn.Module):
                 # padded select_and_scatter + transpose pair (6.2 GB each at
                 # B=8 full scale — the difference between fitting and OOM)
                 b, c = flat.shape[:2]
+                vol = flat.reshape(b, c, *dims)
+                if min(dims) == 1:
+                    # floor pooling would produce an EMPTY level (1 -> 0) at
+                    # degenerate test scales; pad size-1 dims with -inf so
+                    # every pooled dim stays >= 1 (identity at real scales,
+                    # where the deepest level is 8x6x7 — reference
+                    # model/ifnet.py never hits this)
+                    vol = jnp.pad(
+                        vol,
+                        ((0, 0), (0, 0))
+                        + tuple((0, int(d == 1)) for d in dims),
+                        constant_values=-jnp.inf,
+                    )
                 pooled = jax.lax.reduce_window(
-                    flat.reshape(b, c, *dims), -jnp.inf, jax.lax.max,
+                    vol, -jnp.inf, jax.lax.max,
                     (1, 1, 2, 2, 2), (1, 1, 2, 2, 2), "VALID",
                 )
                 x = jnp.moveaxis(pooled, 1, -1)

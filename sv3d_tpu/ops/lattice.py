@@ -143,28 +143,6 @@ def displaced_resizes_take(vol: jnp.ndarray, mats0, taps1, taps2) -> list:
     return out
 
 
-def displaced_partials_cm(vol: jnp.ndarray, mats0, mats1) -> jnp.ndarray:
-    """Axis-0/1 resized partial products of a channel-major (B, C, g0, g1, g2)
-    volume, stacked along the channel axis: (B, 5C, slab_rows, r1, g2).
-
-    Branch order matches the displacement order of
-    sv3d_tpu.ops.grid_sample.displacement_axes for d = 0..4:
-    (center, -d0, +d0, -d1, +d1).  The axis-2 displacements (d = 5, 6) share
-    the center partial (branch 0) and only swap the axis-2 matrix — consumed
-    by the fused sweep kernel (sv3d_tpu/ops/pallas/sweep.py), which finishes
-    the axis-2 resize per displacement in VMEM."""
-    c0, m0, p0 = mats0
-    c1, m1, p1 = mats1
-    v0c = jnp.einsum("ai,bcijk->bcajk", c0, vol)
-    v0m = jnp.einsum("ai,bcijk->bcajk", m0, vol)
-    v0p = jnp.einsum("ai,bcijk->bcajk", p0, vol)
-    ax1 = lambda m, v: jnp.einsum("xj,bcajk->bcaxk", m, v)
-    return jnp.concatenate(
-        [ax1(c1, v0c), ax1(c1, v0m), ax1(c1, v0p), ax1(m1, v0c), ax1(p1, v0c)],
-        axis=1,
-    )
-
-
 def resize_volume_cm(vol: jnp.ndarray, m0, m1, m2) -> jnp.ndarray:
     """Apply separable interpolation matrices to a CHANNEL-MAJOR volume
     (B, C, g0, g1, g2) -> (B, C, r0, r1, r2).  Three MXU contractions."""

@@ -148,3 +148,35 @@ def test_query_fused_matches_query():
     assert got.shape == ref.shape
     scale = np.abs(ref).max() + 1.0
     assert np.abs(got - ref).max() < 0.05 * scale, np.abs(got - ref).max()
+
+
+def test_encode_never_produces_empty_levels_and_fused_query_runs():
+    """At degenerate tiny dims the floor max-pool used to emit an EMPTY
+    pyramid level ((1, 0, 0) at dims (17, 13, 14) with 6 levels), which the
+    fused point-query kernel cannot take (zero-size volume block); the XLA
+    paths silently tolerated it.  encode now clamps every pooled dim to
+    >= 1 (identity at real scales).  Regression for the multichip dryrun's
+    scale_factor=8 fused sharded query."""
+    from sv3d_tpu.config import IFNetConfig
+    from sv3d_tpu.models.ifnet import IFNet
+
+    model = IFNet(IFNetConfig.for_net_res(128))
+    key = jax.random.PRNGKey(0)
+    grid = (jax.random.uniform(key, (1, 17, 13, 14, 1)) > 0.9).astype(jnp.float32)
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(1), (1, 64, 3), minval=-0.45, maxval=0.45
+    )
+    variables = model.init(key, grid, pts, train=False)
+    levels = model.apply(variables, grid, train=False, method=IFNet.encode)
+    assert all(min(d) >= 1 for d in levels.dims), levels.dims
+
+    got = np.asarray(
+        model.apply(variables, levels, pts, interpret=True,
+                    method=IFNet.query_fused)
+    )
+    ref = np.asarray(
+        model.apply(variables, levels, pts, method=IFNet.query)
+    )
+    assert np.isfinite(got).all()
+    scale = np.abs(ref).max() + 1.0
+    assert np.abs(got - ref).max() < 0.05 * scale, np.abs(got - ref).max()
