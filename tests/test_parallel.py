@@ -410,6 +410,41 @@ def test_loader_process_slicing():
         DataLoader(DS(), batch_size=3, process_count=2)
 
 
+def test_loader_partial_final_batch_wraparound():
+    """drop_last=False + process_count>1: a short final global batch is
+    wraparound-padded with rows from the start of the epoch order so every
+    process yields exactly batch_size/process_count rows (the equal-shape
+    invariant multi-host batch assembly requires; loader.py:98-105)."""
+    from sv3d_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.array([i])}
+
+    def batches(pi):
+        return [
+            b["x"][:, 0]
+            for b in DataLoader(
+                DS(), batch_size=4, shuffle=True, seed=7, prefetch=0,
+                process_index=pi, process_count=2,
+            )
+        ]
+
+    p0, p1 = batches(0), batches(1)
+    assert len(p0) == len(p1) == 3  # ceil(10/4)
+    rows = [np.concatenate([a, b]) for a, b in zip(p0, p1)]
+    for r in rows:
+        assert r.shape == (4,)  # equal per-process shapes incl. final batch
+    seen = np.concatenate(rows)
+    # all 10 dataset rows appear; the 2 pad slots duplicate the epoch head
+    assert set(seen.tolist()) == set(range(10))
+    first_epoch_rows = rows[0]
+    np.testing.assert_array_equal(rows[2][2:], first_epoch_rows[:2])
+
+
 def test_multihost_helpers_single_process():
     """Single-process mode: helpers degrade to identity and
     initialize_distributed is a safe no-op."""
