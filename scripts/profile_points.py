@@ -99,15 +99,13 @@ def main():
     )
     levels = encode(variables, grid)
     use_pallas = jax.default_backend() == "tpu"
-    query = jax.jit(
-        lambda v, lv, p: jax.nn.sigmoid(
-            model.apply(
-                v, lv, p,
-                mesh="local" if use_pallas else None,
-                method=IFNet.query_fused if use_pallas else IFNet.query,
-            )
+    if use_pallas:
+        apply = lambda v, lv, p: model.apply(
+            v, lv, p, mesh="local", method=IFNet.query_fused
         )
-    )
+    else:
+        apply = lambda v, lv, p: model.apply(v, lv, p, method=IFNet.query)
+    query = jax.jit(lambda v, lv, p: jax.nn.sigmoid(apply(v, lv, p)))
 
     def run():
         return float(jnp.sum(query(variables, levels, pts)[0, :8]))
