@@ -89,7 +89,7 @@ def _lattice_sweep_sharded_fn(
 
 
 @lru_cache(maxsize=64)
-def _points_sweep_fn(model: IFNet, use_pallas: bool, mesh):
+def _points_sweep_fn(model: IFNet, use_pallas: bool, mesh, bands=None):
     """All query tiles in ONE jitted program: pts (n_tiles, 1, tile, 3) ->
     (n_tiles, tile) sigmoid occupancy via lax.map over tiles.  The r1 version
     round-tripped the host per tile (numpy staging + result transfer), which
@@ -100,7 +100,9 @@ def _points_sweep_fn(model: IFNet, use_pallas: bool, mesh):
     flattened) and the fused kernel runs per-shard under shard_map."""
     if use_pallas:
         body = lambda v, lv, p: jax.nn.sigmoid(
-            model.apply(v, lv, p, mesh="local", method=IFNet.query_fused)
+            model.apply(
+                v, lv, p, mesh="local", bands=bands, method=IFNet.query_fused
+            )
         )
     else:
         body = lambda v, lv, p: jax.nn.sigmoid(
@@ -200,6 +202,7 @@ def evaluate_points(
     tile_points: int = 65536,
     mesh=None,
     use_pallas: bool | None = None,
+    bands: int | None = None,
 ) -> np.ndarray:
     """Sigmoid-occupancy at ARBITRARY points (M, 3) in [-0.5, 0.5], tiled at
     a fixed shape; points may be sharded over "sp".
@@ -208,6 +211,8 @@ def evaluate_points(
     through the MXU-fused bucketed interpolation kernel (IFNet.query_fused)
     instead of XLA gathers; bf16 compute, inference-grade (~1e-2 relative
     logit tolerance — opt out with use_pallas=False for exact f32 gathers).
+    bands opts the fused path into 2-D (slab, band) bucketing — ~2x fewer
+    issued matmul FLOPs at full dims (ARCHITECTURE.md §9).
 
     With a mesh the point axis is sharded over ALL its devices (dp and sp
     flattened) and the fused kernel runs per-shard under shard_map."""
@@ -229,7 +234,7 @@ def evaluate_points(
 
         levels = jax.device_put(levels, replicate(mesh))
 
-    sweep = _points_sweep_fn(model, use_pallas, mesh)
+    sweep = _points_sweep_fn(model, use_pallas, mesh, bands if use_pallas else None)
     out = np.asarray(sweep(variables, levels, jnp.asarray(padded)))
     return out.reshape(-1)[:m]
 

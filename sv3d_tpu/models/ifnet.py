@@ -85,12 +85,21 @@ _point_conv_init = nn.initializers.variance_scaling(
 
 def _query_fused_impl(
     cfg: IFNetConfig, kernels, biases, levels: Pyramid, points: jnp.ndarray,
-    interpret: bool | None, tile: int | None,
+    interpret: bool | None, tile: int | None, bands: int | None = None,
 ) -> jnp.ndarray:
     """Single-device body of IFNet.query_fused (standalone so it can run as
     the per-shard function of a shard_map — shard_map wants explicit array
-    arguments, not flax method closures)."""
-    from sv3d_tpu.ops.pallas.point_query import bucket_queries, default_interpret
+    arguments, not flax method closures).
+
+    bands (fine axis-1 columns per bucket band): opt into the 2-D bucketed
+    kernel, which cuts issued matmul FLOPs ~2x at full dims (ARCHITECTURE.md
+    §9).  INFERENCE-ONLY — the banded level kernel has no VJP."""
+    from sv3d_tpu.ops.pallas.point_query import (
+        bucket_queries,
+        bucket_queries_2d,
+        default_interpret,
+        level_features_banded,
+    )
     from sv3d_tpu.ops.pallas.point_query_bwd import level_features_diff
 
     if interpret is None:
@@ -100,13 +109,28 @@ def _query_fused_impl(
         tile = 128  # measured flat vs 256 at 65k pts; 512 exceeds VMEM
     p0, p1, p2 = (2.0 * points[..., i] for i in range(3))
     g0_fine = levels.dims[0][0]
-    q0, q1, q2, pos, tile_slab, tile_used = bucket_queries(
-        p0, p1, p2, g0_fine, cfg.align_corners, tile=tile
-    )
+    g1_fine = levels.dims[0][1]
+    if bands:
+        q0, q1, q2, pos, tile_slab, tile_band, tile_used = bucket_queries_2d(
+            p0, p1, p2, g0_fine, g1_fine, cfg.align_corners, bands, tile=tile
+        )
+    else:
+        q0, q1, q2, pos, tile_slab, tile_used = bucket_queries(
+            p0, p1, p2, g0_fine, cfg.align_corners, tile=tile
+        )
 
     feats = []
     for (flat, dims), c in zip(levels, cfg.feature_channels):
         vol = jnp.moveaxis(flat.reshape(b, c, *dims), 1, -1)
+        if bands:
+            feats.append(
+                level_features_banded(
+                    vol, q0, q1, q2, tile_slab, tile_band, tile_used, dims,
+                    g0_fine, g1_fine, cfg.align_corners, cfg.displacement,
+                    bands, tile, interpret,
+                )
+            )
+            continue
         feats.append(
             level_features_diff(
                 vol, q0, q1, q2, tile_slab, tile_used, dims, g0_fine,
@@ -287,7 +311,7 @@ class IFNet(nn.Module):
 
     def query_fused(
         self, levels: Pyramid, points: jnp.ndarray, interpret: bool | None = None,
-        tile: int | None = None, mesh: object = None,
+        tile: int | None = None, mesh: object = None, bands: int | None = None,
     ) -> jnp.ndarray:
         """MXU-fused arbitrary-point query (Pallas; inference fast path).
 
@@ -322,7 +346,7 @@ class IFNet(nn.Module):
 
                 fn = jax.shard_map(
                     lambda k, bi, lv, p: _query_fused_impl(
-                        cfg, k, bi, lv, p, interpret, tile
+                        cfg, k, bi, lv, p, interpret, tile, bands
                     ),
                     mesh=mesh,
                     in_specs=(P(), P(), P("dp"), P("dp", "sp")),
@@ -330,7 +354,9 @@ class IFNet(nn.Module):
                     check_vma=False,  # pallas out_shapes carry no vma info
                 )
                 return fn(kernels, biases, levels, points)
-        return _query_fused_impl(cfg, kernels, biases, levels, points, interpret, tile)
+        return _query_fused_impl(
+            cfg, kernels, biases, levels, points, interpret, tile, bands
+        )
 
     def _slab_axis0(
         self, flat, dims, ch8, r, r0p, slab_rows, row_offset,

@@ -114,6 +114,76 @@ def bucket_queries(p0, p1, p2, g0_fine: int, align_corners: bool, tile: int = TI
     return scatter(p0), scatter(p1), scatter(p2), pos, tile_slab, tile_used
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("g0_fine", "g1_fine", "align_corners", "band_cols", "tile"),
+)
+def bucket_queries_2d(
+    p0, p1, p2, g0_fine: int, g1_fine: int, align_corners: bool,
+    band_cols: int, tile: int = TILE,
+):
+    """2-D counting bucketing: (axis-0 slab, axis-1 band of band_cols fine
+    columns).  Same contract as bucket_queries but returns an extra tile_band
+    (B, NT) array.  Shrinks the per-tile table window from (wrows, g1) to
+    (wrows, wcols) so the banded kernel's contraction K drops ~3x on the
+    full-res levels (see ARCHITECTURE.md §9's FLOP-amplification analysis).
+
+    Rank-within-bucket comes from a stable argsort of bucket ids (the
+    (B, N, n_buckets) one-hot cumsum of the 1-D version would materialize
+    ~250 MB at 262k points x 245 buckets)."""
+    b, n = p0.shape
+    ns0 = _num_slabs(g0_fine)
+    nb1 = max(1, -(-g1_fine // band_cols))
+    nb = ns0 * nb1
+    cap = -(-(n + nb * tile) // tile) * tile
+    nt = cap // tile
+    a0, b0 = _ix_affine(g0_fine, align_corners)
+    a1, b1 = _ix_affine(g1_fine, align_corners)
+    slab = jnp.clip(
+        jnp.floor((a0 * p0 + b0) / SLAB_FINE_ROWS).astype(jnp.int32), 0, ns0 - 1
+    )
+    band = jnp.clip(
+        jnp.floor((a1 * p1 + b1) / band_cols).astype(jnp.int32), 0, nb1 - 1
+    )
+    bucket = slab * nb1 + band  # (B, N)
+
+    tile_start = jnp.arange(nt, dtype=jnp.int32) * tile
+
+    def one(bkt):
+        order = jnp.argsort(bkt)  # stable on equal keys
+        sb = bkt[order]
+        starts_sorted = jnp.searchsorted(
+            sb, jnp.arange(nb, dtype=sb.dtype)
+        ).astype(jnp.int32)
+        rank_sorted = jnp.arange(n, dtype=jnp.int32) - starts_sorted[sb]
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+        counts = jnp.diff(jnp.append(starts_sorted, np.int32(n)))
+        padded = jnp.maximum(-(-counts // tile), 1) * tile
+        starts = jnp.cumsum(padded) - padded
+        pos = starts[bkt] + rank
+        tb = jnp.clip(
+            jnp.searchsorted(starts, tile_start, side="right").astype(jnp.int32)
+            - 1,
+            0,
+            nb - 1,
+        )
+        used = jnp.clip(
+            counts[tb] - (tile_start - starts[tb]), 0, tile
+        ).astype(jnp.int32)
+        return pos, tb, used
+
+    pos, tb, tile_used = jax.vmap(one)(bucket)
+
+    def scatter(p):
+        out = jnp.full((b, cap), 2.0, p.dtype)
+        return jax.vmap(lambda o, ps, v: o.at[ps].set(v))(out, pos, p)
+
+    return (
+        scatter(p0), scatter(p1), scatter(p2), pos,
+        tb // nb1, tb % nb1, tile_used,
+    )
+
+
 def _level_windows(g0_fine: int, dims, align_corners: bool, displacement: float):
     """Static numpy per-slab table windows for one level.
 
@@ -140,6 +210,41 @@ def _level_windows(g0_fine: int, dims, align_corners: bool, displacement: float)
         axis=1,
     ).astype(np.int32)
     return tab_lo, woff, rows, wrows
+
+
+def _band_windows(
+    g1_fine: int, dims, align_corners: bool, displacement: float,
+    band_cols: int,
+):
+    """Static per-band axis-1 column windows for one level.
+
+    Returns (col_lo (nb1,) int32, WCOLS).  col_lo is 8-ALIGNED (DMA slices of
+    HBM arrays must be 8-aligned on the sublane-tiled second-to-last dim) and
+    WCOLS is an 8-multiple covering the band span plus the ±displacement
+    shift plus hat support — unlike the axis-0 woff machinery there is no
+    per-displacement column sub-window; the hat weights select within the
+    window (zeros elsewhere), trading a slightly larger K for no unaligned
+    scratch slicing."""
+    g1l = int(dims[1])
+    g1p = -(-g1l // 8) * 8
+    nb1 = max(1, -(-g1_fine // band_cols))
+    af, bf = _ix_affine(g1_fine, align_corners)
+    al, bl = _ix_affine(g1l, align_corners)
+    scale = al / af
+    lo = scale * (np.arange(nb1) * band_cols - bf) + bl
+    width = scale * band_cols
+    dsh = displacement * al
+    lo_need = np.floor(lo - dsh) - 1.0
+    hi_need = np.ceil(lo + width + dsh) + 2.0
+    col_lo = np.maximum((lo_need.astype(np.int64) // 8) * 8, 0)
+    wcols = int(min(g1p, -(-int((hi_need - col_lo).max()) // 8) * 8))
+    col_lo = np.clip(col_lo, 0, max(g1p - wcols, 0)).astype(np.int32)
+    # static coverage check: every band's window spans its in-volume support
+    assert wcols == g1p or (
+        (col_lo <= np.maximum(lo_need, 0)).all()
+        and (col_lo + wcols >= np.minimum(hi_need, g1p)).all()
+    ), (dims, band_cols, col_lo, wcols)
+    return col_lo, wcols
 
 
 def _hat(ix, rows):
@@ -330,6 +435,207 @@ def level_features(
     )(
         tile_base,
         tile_woff,
+        tile_used,
+        volp,
+        q0[..., None],
+        q1[..., None],
+        q2[..., None],
+        fold,
+    )
+    return out
+
+
+def _make_kernel_banded(dims, c: int, g2p: int, wcols: int, rows: int,
+                        wrows: int, align_corners: bool, displacement: float,
+                        tile: int):
+    """Banded kernel body: like _make_kernel but the table window is a
+    (rows, WCOLS) axis-0 x axis-1 tile instead of full axis-1 rows, so the
+    pencil contraction K drops from wrows*g1p to wrows*WCOLS."""
+    g0, g1, g2 = (int(d) for d in dims)
+    a0, b0 = _ix_affine(g0, align_corners)
+    a1, b1 = _ix_affine(g1, align_corners)
+    a2, b2 = _ix_affine(g2, align_corners)
+    dsh = (displacement * a0, displacement * a1, displacement * a2)
+
+    def kernel(base_ref, woff_ref, cbase_ref, used_ref, vol_ref, q0_ref,
+               q1_ref, q2_ref, fold_ref, out_ref, tab_ref, state_ref, sem):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        base = base_ref[bi, ti]
+        cbase = cbase_ref[bi, ti]
+
+        @pl.when(jnp.logical_and(ti == 0, bi == 0))
+        def _():
+            state_ref[0] = -1
+            state_ref[1] = -1
+            state_ref[2] = -1
+
+        skip = used_ref[bi, ti] == 0
+
+        @pl.when(skip)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        @pl.when(
+            jnp.logical_and(
+                jnp.logical_not(skip),
+                (state_ref[0] != base)
+                | (state_ref[1] != cbase)
+                | (state_ref[2] != bi),
+            )
+        )
+        def _():
+            dma = pltpu.make_async_copy(
+                vol_ref.at[bi, pl.ds(base, rows), pl.ds(cbase, wcols)],
+                tab_ref, sem,
+            )
+            dma.start()
+            dma.wait()
+            state_ref[0] = base
+            state_ref[1] = cbase
+            state_ref[2] = bi
+
+        p0 = q0_ref[0]  # (T, 1)
+        p1 = q1_ref[0]
+        p2 = q2_ref[0]
+        ix0 = a0 * p0 + b0
+        ix1 = a1 * p1 + b1
+        ix2 = a2 * p2 + b2
+
+        ab = jax.lax.broadcasted_iota(jnp.int32, (tile, wrows * wcols), 1)
+        arow = (ab // wcols).astype(jnp.float32)
+        bcol = (ab % wcols).astype(jnp.float32)
+        cols_abs = cbase.astype(jnp.float32) + bcol
+        kidx = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile, g2p), 1) // c
+        ).astype(jnp.float32)
+        kvalid = kidx < float(g2)
+
+        fold = fold_ref[:, :]
+
+        @pl.when(jnp.logical_not(skip))
+        def _compute():
+            for d, (s0, s1, s2) in enumerate(DISPLACEMENTS):
+                woff = woff_ref[bi, s0 + 1, ti]
+                dix0 = ix0 + s0 * dsh[0]
+                dix1 = ix1 + s1 * dsh[1]
+                dix2 = ix2 + s2 * dsh[2]
+                rows_abs = (base + woff).astype(jnp.float32) + arow
+                w = _hat(dix0, rows_abs) * _hat(dix1, cols_abs)
+                tab = tab_ref[pl.ds(woff, wrows)]  # (wrows, wcols, g2p)
+                pencil = jax.lax.dot_general(
+                    w.astype(jnp.bfloat16),
+                    tab.reshape(wrows * wcols, g2p),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (T, g2p)
+                h2 = jnp.where(kvalid, _hat(dix2, kidx), 0.0)
+                feat = jax.lax.dot_general(
+                    (pencil * h2).astype(jnp.bfloat16),
+                    fold,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (T, c)
+                out_ref[0, :, d * c : (d + 1) * c] = feat
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "align_corners", "displacement", "g0_fine",
+                     "g1_fine", "band_cols", "tile", "interpret"),
+)
+def level_features_banded(
+    vol: jnp.ndarray,
+    q0: jnp.ndarray,
+    q1: jnp.ndarray,
+    q2: jnp.ndarray,
+    tile_slab: jnp.ndarray,
+    tile_band: jnp.ndarray,
+    tile_used: jnp.ndarray,
+    dims: tuple,
+    g0_fine: int,
+    g1_fine: int,
+    align_corners: bool,
+    displacement: float,
+    band_cols: int,
+    tile: int = TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """level_features over a 2-D (slab, band) bucketing from
+    bucket_queries_2d.  Identical semantics; ~2x fewer issued matmul FLOPs
+    at full dims (K = wrows*WCOLS instead of wrows*g1p on the full-res
+    levels).  INFERENCE-ONLY: no custom VJP is registered for this variant
+    (training's fused path keeps the 1-D bucketing of level_features_diff)."""
+    b, g0, g1, g2, c = vol.shape
+    p = q0.shape[1]
+    nt = p // tile
+    g2c = g2 * c
+    g2p = -(-g2c // 128) * 128
+    g1p = -(-g1 // 8) * 8
+
+    tab_lo, woff_np, rows, wrows = _level_windows(
+        g0_fine, dims, align_corners, displacement
+    )
+    col_lo, wcols = _band_windows(
+        g1_fine, dims, align_corners, displacement, band_cols
+    )
+    tile_base = jnp.asarray(tab_lo)[tile_slab]  # (B, NT)
+    tile_woff = jnp.moveaxis(jnp.asarray(woff_np)[tile_slab], -1, 1)  # (B,3,NT)
+    tile_cbase = jnp.asarray(col_lo)[tile_band]  # (B, NT)
+
+    volp = vol.astype(jnp.bfloat16).reshape(b, g0, g1, g2c)
+    if g2p != g2c or g1p != g1:
+        volp = jnp.pad(
+            volp, ((0, 0), (0, 0), (0, g1p - g1), (0, g2p - g2c))
+        )
+    fold = jnp.asarray(
+        np.tile(np.eye(c, dtype=np.float32), (g2, 1)), jnp.bfloat16
+    )
+    fold = jnp.pad(fold, ((0, g2p - g2c), (0, 0)))
+
+    kernel = _make_kernel_banded(
+        dims, c, g2p, wcols, rows, wrows, align_corners, displacement, tile
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # tile_base, tile_woff, tile_cbase, tile_used
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # volume (DMA'd manually)
+            pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fold matrix
+        ],
+        out_specs=pl.BlockSpec((1, tile, 7 * c), lambda bi, ti, *_: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, wcols, g2p), jnp.bfloat16),
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, p, 7 * c), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p * 7 * (wrows * wcols + g2c) * max(c, 1),
+            bytes_accessed=b * nt * rows * wcols * g2p * 2 + b * p * 7 * c * 4,
+            transcendentals=0,
+        ),
+    )(
+        tile_base,
+        tile_woff,
+        tile_cbase,
         tile_used,
         volp,
         q0[..., None],

@@ -59,6 +59,20 @@ def test_evaluate_points_matches_grid_on_lattice(small_model):
     np.testing.assert_allclose(vals.reshape(dims), lattice, rtol=5e-2, atol=1e-2)
 
 
+def test_evaluate_points_banded_fused_matches_gathers(small_model):
+    """use_pallas + bands=: the 2-D bucketed fused kernel (interpret mode on
+    CPU) agrees with the exact gather path at API level."""
+    model, variables, grid, dims = small_model
+    pts = np.asarray(make_3d_grid((-0.5,) * 3, (0.5,) * 3, dims))
+    exact = evaluate_points(
+        model, variables, grid, pts, tile_points=256, use_pallas=False
+    )
+    banded = evaluate_points(
+        model, variables, grid, pts, tile_points=256, use_pallas=True, bands=4
+    )
+    np.testing.assert_allclose(banded, exact, rtol=5e-2, atol=1e-2)
+
+
 def test_evaluate_points_sharded(small_model):
     import os
 

@@ -19,7 +19,9 @@ from sv3d_tpu.ops.pallas.point_query import (
     TILE,
     _level_windows,
     bucket_queries,
+    bucket_queries_2d,
     level_features,
+    level_features_banded,
 )
 
 RNG = np.random.default_rng(7)
@@ -82,6 +84,92 @@ def test_level_features_parity(ac, c):
     got = _fused(vol, pts, disp, ac, g0_fine=dims[0])
     err = np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)
     assert err.max() < 3e-2, err.max()
+
+
+def _fused_banded(vol, pts, disp, ac, g0_fine, g1_fine, band_cols):
+    b, n = pts.shape[:2]
+    c = vol.shape[-1]
+    p0, p1, p2 = (jnp.asarray(pts[..., i]) for i in range(3))
+    q0, q1, q2, pos, tile_slab, tile_band, tile_used = bucket_queries_2d(
+        p0, p1, p2, g0_fine, g1_fine, ac, band_cols
+    )
+    feats = level_features_banded(
+        jnp.asarray(vol), q0, q1, q2, tile_slab, tile_band, tile_used,
+        vol.shape[1:4], g0_fine, g1_fine, ac, disp, band_cols, interpret=True,
+    )
+    got = np.take_along_axis(np.asarray(feats), np.asarray(pos)[..., None], axis=1)
+    return got.reshape(b, n, 7, c).transpose(0, 2, 1, 3)
+
+
+def test_bucket_queries_2d_invariants():
+    b, n, g0, g1 = 2, 300, 19, 16
+    pts = RNG.uniform(-1.2, 1.2, (b, n, 3)).astype(np.float32)
+    p = [jnp.asarray(pts[..., i]) for i in range(3)]
+    q0, q1, q2, pos, tile_slab, tile_band, tile_used = bucket_queries_2d(
+        p[0], p[1], p[2], g0, g1, False, band_cols=8
+    )
+    pos, q0 = np.asarray(pos), np.asarray(q0)
+    assert q0.shape[1] % TILE == 0 and pos.max() < q0.shape[1]
+    for bi in range(b):
+        assert len(set(pos[bi])) == n  # bijective placement
+        np.testing.assert_allclose(q0[bi, pos[bi]], pts[bi, :, 0], rtol=1e-6)
+        mask = np.ones(q0.shape[1], bool)
+        mask[pos[bi]] = False
+        assert (q0[bi, mask] == 2.0).all()
+    # per-tile used counts sum to n
+    np.testing.assert_array_equal(np.asarray(tile_used).sum(axis=1), [n, n])
+    assert np.asarray(tile_band).max() < -(-g1 // 8)
+
+
+@pytest.mark.parametrize("ac", [False, True])
+@pytest.mark.parametrize("band_cols", [4, 8])
+def test_level_features_banded_parity(ac, band_cols):
+    """2-D (slab, band) bucketing matches the gather reference, including
+    out-of-range points and both align_corners conventions."""
+    dims = (19, 13, 14)
+    disp = 0.0722
+    b, n, c = 2, 200, 16
+    vol = RNG.standard_normal((b, *dims, c), dtype=np.float32)
+    pts = RNG.uniform(-1.3, 1.3, (b, n, 3)).astype(np.float32)
+    ref = _reference(vol, pts, disp, ac)
+    got = _fused_banded(vol, pts, disp, ac, dims[0], dims[1], band_cols)
+    err = np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)
+    assert err.max() < 3e-2, err.max()
+
+
+def test_level_features_banded_coarse_level():
+    """Coarse level under fine-axis banding: the column window degenerates to
+    the whole padded axis (WCOLS == g1p) and must still match."""
+    fine = (19, 16)
+    dims, c = (5, 4, 4), 8
+    vol = RNG.standard_normal((1, *dims, c), dtype=np.float32)
+    pts = RNG.uniform(-1.0, 1.0, (1, 150, 3)).astype(np.float32)
+    ref = _reference(vol, pts, 0.035, True)
+    got = _fused_banded(vol, pts, 0.035, True, fine[0], fine[1], band_cols=4)
+    err = np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)
+    assert err.max() < 3e-2, err.max()
+
+
+def test_query_fused_banded_matches_query():
+    """End-to-end IFNet with bands=: logits match the exact gather path."""
+    from sv3d_tpu.config import IFNetConfig
+    from sv3d_tpu.models.ifnet import IFNet
+
+    model = IFNet(IFNetConfig.for_net_res(32))
+    key = jax.random.PRNGKey(0)
+    grid = (jax.random.uniform(key, (2, 18, 13, 14, 1)) > 0.9).astype(jnp.float32)
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(1), (2, 100, 3), minval=-0.55, maxval=0.55
+    )
+    variables = model.init(key, grid, pts, train=False)
+    ref = np.asarray(model.apply(variables, grid, pts, train=False))
+    levels = model.apply(variables, grid, train=False, method=IFNet.encode)
+    got = np.asarray(
+        model.apply(variables, levels, pts, interpret=True, bands=4,
+                    method=IFNet.query_fused)
+    )
+    scale = np.abs(ref).max() + 1.0
+    assert np.abs(got - ref).max() < 0.05 * scale, np.abs(got - ref).max()
 
 
 def test_level_features_coarse_level():
