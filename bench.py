@@ -152,6 +152,35 @@ def bench_arbitrary_points():
         dev_times.append(time.perf_counter() - t0 - rt)
     dev_pps = n / min(dev_times)
 
+    # --- 2-D bucketed (slab x band) variant: ~1.8x fewer issued FLOPs
+    # (ARCHITECTURE.md §9); guarded — falls back to 0.0 if the banded
+    # kernel fails to compile on this backend ---
+    banded_pps = 0.0
+    if use_pallas:
+        try:
+            query_b = jax.jit(
+                lambda v, lv, p: jax.nn.sigmoid(
+                    model.apply(
+                        v, lv, p, mesh="local", bands=8,
+                        method=IFNet.query_fused,
+                    )
+                )
+            )
+
+            def run_banded():
+                return float(jnp.sum(query_b(variables, levels, pts_dev)[0, :8]))
+
+            run_banded()
+            run_banded()
+            b_times = []
+            for _ in range(N_TIMED):
+                t0 = time.perf_counter()
+                run_banded()
+                b_times.append(time.perf_counter() - t0 - rt)
+            banded_pps = n / min(b_times)
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            print(f"# banded arbitrary-point bench skipped: {e!r}", file=sys.stderr)
+
     # --- host-loop API path (one tile: a single staging round-trip) ---
     kw = dict(tile_points=n, use_pallas=use_pallas)
     evaluate_points(model, variables, grid, pts, **kw)  # warm
@@ -160,7 +189,7 @@ def bench_arbitrary_points():
         t0 = time.perf_counter()
         evaluate_points(model, variables, grid, pts, **kw)
         times.append(time.perf_counter() - t0 - rt)
-    return dev_pps, n / min(times)
+    return dev_pps, banded_pps, n / min(times)
 
 
 def bench_reference_scheme():
@@ -300,7 +329,7 @@ def bench_scene():
 def main():
     pps = bench_points()
     ref_pps = bench_reference_scheme()
-    arb_dev_pps, arb_host_pps = bench_arbitrary_points()
+    arb_dev_pps, arb_banded_pps, arb_host_pps = bench_arbitrary_points()
     scene_s, device_s, mc_s = bench_scene()
     # measured same-chip baseline for sec/scene: the reference scheme over the
     # same 12.95M-point sweep, plus this run's own marching-cubes time
@@ -321,6 +350,7 @@ def main():
                 "sec_per_scene_vs_baseline": round(ref_scene_s / scene_s, 3),
                 "reference_scheme_sec_per_scene": round(ref_scene_s, 3),
                 "arbitrary_points_per_sec": round(arb_dev_pps, 1),
+                "arbitrary_points_per_sec_banded": round(arb_banded_pps, 1),
                 "arbitrary_points_per_sec_host_loop": round(arb_host_pps, 1),
                 "note": "vs_baseline = measured on THIS chip vs the reference's own per-chunk re-encoding scheme (model/ifnet.py:215-229) run on the same chip; vs_v100_estimate keeps the r1 FLOP-argument context (1.0M pts/s / 15 s per scene on V100)",
             }
