@@ -74,6 +74,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=262144)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--bands", type=int, default=None,
+                   help="band_cols for the 2-D bucketed kernel (e.g. 8)")
     p.add_argument("--tracedir", default="/tmp/prof_points")
     args = p.parse_args()
     if args.cpu:
@@ -101,7 +103,7 @@ def main():
     use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         apply = lambda v, lv, p: model.apply(
-            v, lv, p, mesh="local", method=IFNet.query_fused
+            v, lv, p, mesh="local", bands=args.bands, method=IFNet.query_fused
         )
     else:
         apply = lambda v, lv, p: model.apply(v, lv, p, method=IFNet.query)
