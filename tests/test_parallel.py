@@ -178,6 +178,23 @@ def test_sharded_fused_query_matches_unsharded():
         np.asarray(fused_sharded), np.asarray(xla), atol=5e-3
     )  # bf16 kernel vs f32 gathers
 
+    # the 2-D bucketed (banded) variant must compose with the mesh the same
+    # way: per-shard bucketing, bit-identical to the banded local path
+    banded_local = jax.jit(
+        lambda v, lv, p: model_local.apply(
+            v, lv, p, bands=4, method=IFNet.query_fused
+        )
+    )(variables, levels, pts)
+    banded_sharded = jax.jit(
+        lambda v, lv, p: model.apply(v, lv, p, bands=4, method=IFNet.query_fused)
+    )(v_rep, lv_sh, p_sh)
+    np.testing.assert_array_equal(
+        np.asarray(banded_sharded), np.asarray(banded_local)
+    )
+    np.testing.assert_allclose(
+        np.asarray(banded_sharded), np.asarray(xla), atol=5e-3
+    )
+
 
 def test_sharded_fused_query_gradients_match():
     """Backward through the shard_mapped fused path: cotangents of the
