@@ -136,7 +136,9 @@ def _restore_like(template, restored):
     if len(leaves_t) != len(leaves_r):
         raise ValueError(
             f"checkpoint structure mismatch: {len(leaves_r)} leaves vs "
-            f"{len(leaves_t)} expected"
+            f"{len(leaves_t)} expected — the model architecture flags "
+            "(net_res / skip_unet / resize_input / W) must match the ones "
+            "the checkpoint was trained with"
         )
     coerced = [
         np.asarray(r).astype(t.dtype) if hasattr(t, "dtype") else r
