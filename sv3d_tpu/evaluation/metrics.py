@@ -120,14 +120,14 @@ def evaluate_mesh_lists(paths_pred, paths_gt, n_points=100000, verbose=False) ->
     return {"mean": means, "raw": performance}
 
 
-if __name__ == "__main__":
+def cli_main(argv=None):
     p = argparse.ArgumentParser(description="batch mesh evaluation")
     p.add_argument("--path_files", type=str, default="results/path_files")
     p.add_argument("--experiment", type=str, required=True)
     p.add_argument("--gt", type=str, default="normed_gt.txt")
     p.add_argument("--n_points", type=int, default=100000)
     p.add_argument("--verbose", action="store_true")
-    a = p.parse_args()
+    a = p.parse_args(argv)
 
     pf = Path(a.path_files)
     preds = (pf / a.experiment).read_text().splitlines()
@@ -144,3 +144,7 @@ if __name__ == "__main__":
         f.write("\n")
         f.write(json.dumps(results["raw"]))
     print(json.dumps(results["mean"], indent=2))
+
+
+if __name__ == "__main__":
+    cli_main()

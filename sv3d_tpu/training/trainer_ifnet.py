@@ -111,7 +111,11 @@ def train_implicit_refinement(config: Config, max_steps=None):
     return ImplicitRefinementTrainer(config).fit(max_steps=max_steps)
 
 
-if __name__ == "__main__":
+def cli_main():
     from sv3d_tpu.training.cli import parse_config
 
     train_implicit_refinement(parse_config())
+
+
+if __name__ == "__main__":
+    cli_main()

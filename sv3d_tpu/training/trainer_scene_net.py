@@ -375,7 +375,11 @@ def train_scene_net(config: Config, max_steps=None):
     return trainer.fit(max_steps=max_steps)
 
 
-if __name__ == "__main__":
+def cli_main():
     from sv3d_tpu.training.cli import parse_config
 
     train_scene_net(parse_config())
+
+
+if __name__ == "__main__":
+    cli_main()

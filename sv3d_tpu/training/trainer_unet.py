@@ -122,7 +122,11 @@ def train_unet(config: Config, max_steps=None):
     return DepthRegressorTrainer(config).fit(max_steps=max_steps)
 
 
-if __name__ == "__main__":
+def cli_main():
     from sv3d_tpu.training.cli import parse_config
 
     train_unet(parse_config())
+
+
+if __name__ == "__main__":
+    cli_main()
