@@ -96,6 +96,46 @@ def process_sample(
     return out
 
 
+_QUARANTINE_ERRORS = (IndexError, AttributeError, ValueError)
+
+
+def _pipeline_one(job):
+    """Process one scene/view (a picklable top-level fn so the pipeline can
+    fan samples out over worker processes).  Returns (sample_str, error_name
+    or None); quarantine filesystem moves stay in the parent."""
+    (split_root, intrinsic_path, scene, view, down_scale_factor, num_samples,
+     processed_root, rng_seed) = job
+    dims = tuple(round(d / down_scale_factor) for d in (139, 104, 112))
+    sample = Path(split_root) / scene / view
+    out = sample
+    if processed_root is not None:
+        out = Path(processed_root) / scene / view
+        out.mkdir(parents=True, exist_ok=True)
+    try:
+        _, grid, _ = depth_grid_from_distance(
+            sample / "distance.exr", intrinsic_path, down_scale_factor
+        )
+        np.savez_compressed(out / "depth_grid", grid=grid)
+        df = read_df(sample / "distance_field.df", down_scale_factor)
+        visualize_sdf(df, sample / "mesh.obj", level=1.0)
+        if processed_root is not None:
+            shutil.copyfile(sample / "distance_field.df", out / "target.df")
+        rng = np.random.default_rng(rng_seed)
+        for sigma in (0.01, 0.1):
+            pts, occ, grid_coords = sample_points(
+                sample / "mesh.obj", dims, num_samples, sigma, rng=rng
+            )
+            np.savez(
+                out / f"occupancy_{sigma:.02f}",
+                points=pts, occupancies=occ, grid_coords=grid_coords,
+            )
+        return str(sample), None
+    except _QUARANTINE_ERRORS as e:
+        if processed_root is not None:
+            shutil.rmtree(out, ignore_errors=True)
+        return str(sample), type(e).__name__
+
+
 def process_sample_pipeline(
     dataset_path: str | Path,
     splitsdir: str,
@@ -103,6 +143,7 @@ def process_sample_pipeline(
     num_samples: int = 100000,
     seed: int = 0,
     processed_root: str | Path | None = None,
+    num_workers: int = 0,
 ):
     """Walk dataset_path/splitsdir/<scene>/<view>; quarantine failures
     (reference process_sample.py:32-72).
@@ -111,44 +152,41 @@ def process_sample_pipeline(
     staging-tree behavior).  With processed_root, depth_grid/target.df/
     occupancies are written to processed_root/<scene>/<view> instead — the
     <datasetdir>/processed/<splitsdir> layout the datasets consume
-    (mesh.obj stays in the raw tree, where SceneNetDataset reads it)."""
-    dims = tuple(round(d / down_scale_factor) for d in (139, 104, 112))
+    (mesh.obj stays in the raw tree, where SceneNetDataset reads it).
+
+    num_workers > 1 fans samples out over a process pool (the reference
+    pipeline is strictly serial — at its 2,753-scene scale the waterproofing
+    hot loop dominates and parallelizes embarrassingly).  Each sample draws
+    from its own SeedSequence([seed, index]) stream so results are
+    deterministic and order-independent regardless of worker count; the
+    serial num_workers<=1 path uses the same per-sample seeding.  Quarantine
+    moves always happen in the parent process."""
     d_path = Path(dataset_path) / splitsdir
-    rng = np.random.default_rng(seed)
-    processed, quarantined = [], []
+    intrinsic_path = Path(dataset_path) / "intrinsics.txt"
+    jobs = []
     for scene in sorted(p.name for p in d_path.iterdir() if p.is_dir()):
         for view in sorted(p.name for p in (d_path / scene).iterdir() if p.is_dir()):
-            sample = d_path / scene / view
-            out = sample
-            if processed_root is not None:
-                out = Path(processed_root) / scene / view
-                out.mkdir(parents=True, exist_ok=True)
-            try:
-                _, grid, _ = depth_grid_from_distance(
-                    sample / "distance.exr",
-                    Path(dataset_path) / "intrinsics.txt",
-                    down_scale_factor,
-                )
-                np.savez_compressed(out / "depth_grid", grid=grid)
-                df = read_df(sample / "distance_field.df", down_scale_factor)
-                visualize_sdf(df, sample / "mesh.obj", level=1.0)
-                if processed_root is not None:
-                    shutil.copyfile(sample / "distance_field.df", out / "target.df")
-                for sigma in (0.01, 0.1):
-                    pts, occ, grid_coords = sample_points(
-                        sample / "mesh.obj", dims, num_samples, sigma, rng=rng
-                    )
-                    np.savez(
-                        out / f"occupancy_{sigma:.02f}",
-                        points=pts, occupancies=occ, grid_coords=grid_coords,
-                    )
-                processed.append(str(sample))
-            except (IndexError, AttributeError, ValueError) as e:
-                quarantine = Path(dataset_path) / "quarantine" / splitsdir / scene / view
-                quarantine.parent.mkdir(parents=True, exist_ok=True)
-                print(f"{type(e).__name__} for {sample}; moving to {quarantine}")
-                shutil.move(str(sample), str(quarantine))
-                if processed_root is not None:
-                    shutil.rmtree(out, ignore_errors=True)
-                quarantined.append(str(sample))
+            jobs.append(
+                (d_path, intrinsic_path, scene, view, down_scale_factor,
+                 num_samples, processed_root, [seed, len(jobs)])
+            )
+
+    if num_workers > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=num_workers) as ex:
+            results = list(ex.map(_pipeline_one, jobs))
+    else:
+        results = [_pipeline_one(j) for j in jobs]
+
+    processed, quarantined = [], []
+    for (_, _, scene, view, *_), (sample, err) in zip(jobs, results):
+        if err is None:
+            processed.append(sample)
+            continue
+        quarantine = Path(dataset_path) / "quarantine" / splitsdir / scene / view
+        quarantine.parent.mkdir(parents=True, exist_ok=True)
+        print(f"{err} for {sample}; moving to {quarantine}")
+        shutil.move(sample, str(quarantine))
+        quarantined.append(sample)
     return processed, quarantined

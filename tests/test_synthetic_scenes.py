@@ -137,3 +137,34 @@ def test_implicit_dataset_on_synth(synth_root):
     assert s["points"].shape == (32, 3)
     assert s["occupancies"].shape == (32,)
     assert np.isfinite(s["target"]).all()
+
+
+def test_pipeline_parallel_matches_serial(tmp_path):
+    """num_workers>1 fans samples over a process pool; per-sample
+    SeedSequence([seed, index]) streams make the outputs bit-identical to
+    the serial run regardless of worker count."""
+    from make_synthetic_scenes import generate
+
+    from sv3d_tpu.preprocessing.process_sample import process_sample_pipeline
+
+    roots = []
+    for mode in ("serial", "parallel"):
+        root = tmp_path / mode
+        generate(root, 3, bad_scenes=0, seed=0)
+        roots.append(root)
+
+    serial, _ = process_sample_pipeline(
+        roots[0] / "raw", "synth", down_scale_factor=SCALE, num_samples=400,
+        seed=0, processed_root=roots[0] / "processed" / "synth",
+    )
+    parallel, _ = process_sample_pipeline(
+        roots[1] / "raw", "synth", down_scale_factor=SCALE, num_samples=400,
+        seed=0, processed_root=roots[1] / "processed" / "synth",
+        num_workers=2,
+    )
+    assert len(serial) == len(parallel) == 3
+    for rel in [Path(p).relative_to(roots[0] / "raw" / "synth") for p in serial]:
+        a = np.load(roots[0] / "processed" / "synth" / rel / "occupancy_0.10.npz")
+        b = np.load(roots[1] / "processed" / "synth" / rel / "occupancy_0.10.npz")
+        np.testing.assert_array_equal(a["points"], b["points"])
+        np.testing.assert_array_equal(a["occupancies"], b["occupancies"])
