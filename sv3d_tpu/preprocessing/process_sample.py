@@ -190,3 +190,26 @@ def process_sample_pipeline(
         shutil.move(sample, str(quarantine))
         quarantined.append(sample)
     return processed, quarantined
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="offline preprocessing pipeline (reference "
+        "data_processing/process_sample.py:74-76)"
+    )
+    p.add_argument("--datasetdir", default="data")
+    p.add_argument("--splitsdir", required=True)
+    p.add_argument("--scale_factor", type=int, default=1)
+    p.add_argument("--num_samples", type=int, default=100000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=0)
+    a = p.parse_args()
+    processed, quarantined = process_sample_pipeline(
+        Path(a.datasetdir) / "raw", a.splitsdir, a.scale_factor,
+        a.num_samples, a.seed,
+        processed_root=Path(a.datasetdir) / "processed" / a.splitsdir,
+        num_workers=a.num_workers,
+    )
+    print(f"processed {len(processed)}, quarantined {len(quarantined)}")
