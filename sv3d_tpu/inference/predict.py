@@ -113,38 +113,51 @@ def load_model(args):
     return config, model, state
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _fwd_fns(model):
+    """Jitted forwards, built ONCE per model so serving many images reuses
+    the compiled programs (a per-call jax.jit closure would re-trace per
+    image)."""
+    import jax
+
+    from sv3d_tpu.models.scene_net import SceneNet
+
+    @jax.jit
+    def fwd_rgb(v, img):
+        depth = model.apply(v, img, train=False, method=SceneNet.predict_depth)
+        pc = model.apply(v, depth, method=SceneNet.project_depth)
+        vox = model.apply(v, pc, method=lambda m, p: m.project(p))
+        return vox, depth
+
+    @jax.jit
+    def fwd_depth(v, d):
+        pc = model.apply(v, d, method=SceneNet.project_depth)
+        return model.apply(v, pc, method=lambda m, p: m.project(p)), d
+
+    return fwd_rgb, fwd_depth
+
+
 def predict(config, model, state, rgb=None, distance=None, intrinsics=None):
     """One sample -> (voxel_occupancy (1, *dims, 1), depthmap (240, 320)).
 
     rgb: (H, W, 3) normalized float32, or None with a distance map for the
     GT-depth pipeline."""
-    import jax
     import jax.numpy as jnp
 
     from sv3d_tpu.geometry.camera import distance_to_depth
-    from sv3d_tpu.models.scene_net import SceneNet
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd_rgb, fwd_depth = _fwd_fns(model)
 
     if rgb is not None:
-        @jax.jit
-        def fwd(v, img):
-            depth = model.apply(v, img, train=False, method=SceneNet.predict_depth)
-            pc = model.apply(v, depth, method=SceneNet.project_depth)
-            vox = model.apply(v, pc, method=lambda m, p: m.project(p))
-            return vox, depth
-
-        vox, depth = fwd(variables, jnp.asarray(rgb)[None])
+        vox, depth = fwd_rgb(variables, jnp.asarray(rgb)[None])
     else:
         depth_np = np.asarray(
             distance_to_depth(jnp.asarray(distance), intrinsics.focal_length)
         )
-
-        @jax.jit
-        def fwd_depth(v, d):
-            pc = model.apply(v, d, method=SceneNet.project_depth)
-            return model.apply(v, pc, method=lambda m, p: m.project(p)), d
-
         vox, depth = fwd_depth(variables, jnp.asarray(depth_np)[None])
     return vox, np.asarray(depth[0])
 
