@@ -326,28 +326,51 @@ def bench_scene():
     return totals[i], devs[i], mcs[i]
 
 
+def _guarded(fn, fallback, errors):
+    """Run a secondary bench section; degrade to `fallback` on failure so one
+    broken section does not zero the whole artifact.  Worker-crash errors
+    re-raise: the child-level re-exec (warm compile cache) fixes those."""
+    try:
+        return fn()
+    except Exception as e:  # pragma: no cover - hardware-dependent
+        if "crashed or restarted" in str(e):
+            raise
+        errors.append(f"{fn.__name__}: {e!r}"[:300])
+        print(f"# {fn.__name__} failed: {e!r}", file=sys.stderr)
+        return fallback
+
+
 def main():
-    pps = bench_points()
-    ref_pps = bench_reference_scheme()
-    arb_dev_pps, arb_banded_pps, arb_host_pps = bench_arbitrary_points()
-    scene_s, device_s, mc_s = bench_scene()
+    errors = []
+    pps = bench_points()  # primary metric: must succeed
+    ref_pps = _guarded(bench_reference_scheme, 0.0, errors)
+    arb_dev_pps, arb_banded_pps, arb_host_pps = _guarded(
+        bench_arbitrary_points, (0.0, 0.0, 0.0), errors
+    )
+    scene_s, device_s, mc_s = _guarded(bench_scene, (0.0, 0.0, 0.0), errors)
     # measured same-chip baseline for sec/scene: the reference scheme over the
     # same 12.95M-point sweep, plus this run's own marching-cubes time
     n_sweep = (DIMS[0] * RES_INCREASE) * (DIMS[1] * RES_INCREASE) * (DIMS[2] * RES_INCREASE)
-    ref_scene_s = n_sweep / ref_pps + mc_s
+    ref_scene_s = n_sweep / ref_pps + mc_s if ref_pps > 0 else 0.0
+    payload = {}
+    if errors:
+        payload["section_errors"] = errors
     print(
         json.dumps(
             {
+                **payload,
                 "metric": "occupancy query points/sec/chip (dense 278x208x224 sweep, IF-Net-128)",
                 "value": round(pps, 1),
                 "unit": "points/s",
-                "vs_baseline": round(pps / ref_pps, 3),
+                "vs_baseline": round(pps / ref_pps, 3) if ref_pps > 0 else 0.0,
                 "reference_scheme_points_per_sec": round(ref_pps, 1),
                 "vs_v100_estimate": round(pps / BASELINE_POINTS_PER_SEC, 3),
                 "sec_per_scene_image_to_mesh": round(scene_s, 3),
                 "sec_per_scene_device": round(device_s, 3),
                 "sec_per_scene_marching_cubes": round(mc_s, 3),
-                "sec_per_scene_vs_baseline": round(ref_scene_s / scene_s, 3),
+                "sec_per_scene_vs_baseline": (
+                    round(ref_scene_s / scene_s, 3) if scene_s > 0 else 0.0
+                ),
                 "reference_scheme_sec_per_scene": round(ref_scene_s, 3),
                 "arbitrary_points_per_sec": round(arb_dev_pps, 1),
                 "arbitrary_points_per_sec_banded": round(arb_banded_pps, 1),
@@ -358,13 +381,97 @@ def main():
     )
 
 
-def _main_with_retry():
-    """First execution of a freshly AOT-compiled Mosaic kernel through the
-    tunneled chip intermittently takes the TPU worker down (~50% observed on
-    new fused-sweep variants; never once the persistent compile cache is
-    warm — see .jax_cache).  The compile cache entry is written at compile
-    time, before the crash, so re-exec'ing the process skips the crash
-    window entirely.  Bounded to 2 retries."""
+def _supervise():
+    """Run the measurement in a CHILD process, retrying on every observed
+    tunnel failure mode, and ALWAYS print one parseable JSON line.
+
+    Observed failure modes of the tunneled TPU worker (axon):
+      * mid-run crash: "... crashed or restarted" on a fresh Mosaic kernel's
+        first execution (~50% on cold kernels; never once the persistent
+        compile cache under .jax_cache is warm — entries are written at
+        compile time, BEFORE the crash, so a re-run skips the crash window);
+      * init-time failure: "Unable to initialize backend 'axon':
+        UNAVAILABLE: TPU backend setup/compile error" (killed round 2's
+        BENCH — the old retry only matched mid-run crashes);
+      * init-time HANG: jax.devices() blocks for minutes with no exception.
+
+    A subprocess with a wall-clock timeout covers all three.  Retries sleep
+    with backoff (the worker has been observed to recover after minutes);
+    the compile cache accumulates across attempts so each retry gets
+    further.  If every attempt fails, a JSON line with an "error" field is
+    emitted so the driver still gets parseable output.
+    """
+    import subprocess
+
+    attempts = int(os.environ.get("SV3D_BENCH_ATTEMPTS", "4"))
+    timeout_s = float(os.environ.get("SV3D_BENCH_TIMEOUT", "1800"))
+    sleeps = [
+        float(s)
+        for s in os.environ.get("SV3D_BENCH_SLEEPS", "30,120,300").split(",")
+    ]
+    env = dict(os.environ, SV3D_BENCH_CHILD="1")
+    last_err = "unknown"
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                timeout=timeout_s,
+            )
+            out = proc.stdout.decode("utf-8", "replace")
+            # forward the child's JSON line if it produced one
+            json_line = None
+            for line in out.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        json.loads(line)
+                        json_line = line
+                    except ValueError:
+                        pass
+            if proc.returncode == 0 and json_line is not None:
+                print(json_line)
+                return 0
+            last_err = (
+                f"child rc={proc.returncode}, "
+                f"tail={out.strip().splitlines()[-1] if out.strip() else ''!r}"
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"child timed out after {timeout_s:.0f}s (backend hang?)"
+        sys.stderr.write(
+            f"bench: attempt {attempt + 1}/{attempts} failed: {last_err}\n"
+        )
+        sys.stderr.flush()
+        if attempt < attempts - 1:
+            time.sleep(sleeps[min(attempt, len(sleeps) - 1)])
+    print(
+        json.dumps(
+            {
+                "metric": "occupancy query points/sec/chip (dense 278x208x224 sweep, IF-Net-128)",
+                "value": 0.0,
+                "unit": "points/s",
+                "vs_baseline": 0.0,
+                "error": f"all {attempts} bench attempts failed; last: {last_err}",
+            }
+        )
+    )
+    return 1
+
+
+def _child_main():
+    """One measurement attempt (runs inside the supervised child).  A
+    mid-run worker crash is retried once by re-exec — the compile cache is
+    warm by then, which historically always succeeds."""
+    mode = os.environ.get("SV3D_BENCH_TEST_MODE")  # supervisor test hook
+    if mode == "hang":
+        time.sleep(3600)
+    elif mode == "fail":
+        sys.exit(3)
+    elif mode == "ok":
+        print(json.dumps({"metric": "test", "value": 1.0, "unit": "x", "vs_baseline": 1.0}))
+        return
     try:
         main()
     except Exception as e:  # jax.errors.JaxRuntimeError, unstable worker
@@ -382,4 +489,7 @@ def _main_with_retry():
 
 
 if __name__ == "__main__":
-    _main_with_retry()
+    if os.environ.get("SV3D_BENCH_CHILD"):
+        _child_main()
+    else:
+        sys.exit(_supervise())
