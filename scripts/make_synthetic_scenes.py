@@ -75,7 +75,12 @@ def _ray_box(dirs: np.ndarray, lo: np.ndarray, hi: np.ndarray):
     t_exit = tmax.min(axis=-1)
     hit = (t_exit >= np.maximum(t_enter, 0.0)) & (t_exit > 0.0)
     t = np.where(hit, np.where(t_enter > 0.0, t_enter, t_exit), np.inf)
-    axis = np.argmax(tmin, axis=-1)
+    # face axis: the entry slab for exterior origins; for an origin INSIDE
+    # the box (t_enter <= 0) the returned t is the EXIT distance, so the hit
+    # face is the exit slab (argmin of tmax), not the entry one
+    axis = np.where(
+        t_enter > 0.0, np.argmax(tmin, axis=-1), np.argmin(tmax, axis=-1)
+    )
     return t, axis
 
 

@@ -94,14 +94,17 @@ class DataLoader:
         lo = self.process_index * per
         for b in range(len(self)):
             rows = order[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(rows) < self.batch_size:
+                # wraparound-pad a partial final batch (drop_last=False) with
+                # duplicates from the start of the epoch order (the
+                # DDP-sampler convention).  Applied in EVERY mode so (a)
+                # multi-host assembly gets equal per-process row counts, (b)
+                # single- and multi-process runs see identical effective
+                # epochs, and (c) the jitted train step keeps one static
+                # batch shape (a short final batch would force a recompile).
+                pad = self.batch_size - len(rows)
+                rows = np.concatenate([rows, np.resize(order, pad)])
             if self.process_count > 1:
-                if len(rows) < self.batch_size:
-                    # wraparound-pad a partial final batch (drop_last=False):
-                    # multi-host assembly needs EQUAL per-process row counts,
-                    # so short batches are topped up with duplicates from the
-                    # start of the epoch order (the DDP-sampler convention)
-                    pad = self.batch_size - len(rows)
-                    rows = np.concatenate([rows, np.resize(order, pad)])
                 yield list(rows[lo : lo + per])
             else:
                 yield list(rows)

@@ -134,7 +134,7 @@ def evaluate_on_grid(
     res_increase: int = 1,
     slab_rows: int = 4,
     mesh=None,
-    transfer_dtype=jnp.float16,
+    transfer_dtype=jnp.float32,
 ) -> np.ndarray:
     """Evaluate sigmoid-occupancy on the dense lattice over [-0.5, 0.5]^3.
 
@@ -145,12 +145,14 @@ def evaluate_on_grid(
     With a mesh, lattice rows are sharded over its "sp" axis (pyramid
     replicated) — the point-sharded inference path.
 
-    transfer_dtype: the value grid is cast on DEVICE before the host pull —
-    the 12.95M-cell full-scale grid is 52 MB in f32 and the device->host
-    transfer dominates warm image->mesh latency (measured 3.8 s through this
-    environment's tunneled chip; halved bytes help real PCIe hosts too).
-    float16 resolves the sigmoid field to ~5e-4, i.e. marching-cubes vertex
-    shifts of <1e-3 voxel at the 0.5 level; pass jnp.float32 for exact.
+    transfer_dtype: the value grid is cast on DEVICE before the host pull.
+    Default float32 = exact (the contract metric evals rely on).  Pass
+    jnp.float16 at latency-sensitive call sites: the 12.95M-cell full-scale
+    grid is 52 MB in f32 and the device->host transfer dominates warm
+    image->mesh latency (measured 3.8 s through this environment's tunneled
+    chip; halved bytes help real PCIe hosts too).  float16 resolves the
+    sigmoid field to ~5e-4, i.e. marching-cubes vertex shifts of <1e-3 voxel
+    at the 0.5 level.  None skips the cast entirely.
     """
     resolution = tuple(int(x) for x in resolution)
     res = tuple(x * res_increase for x in resolution)
@@ -249,11 +251,18 @@ def implicit_to_mesh(
     res_increase: int = 1,
     slab_rows: int = 4,
     mesh=None,
+    transfer_dtype=jnp.float16,
 ):
     """Dense evaluation -> marching cubes on (1 - occupancy) at level
-    threshold_p -> OBJ (reference model/ifnet.py:232-234)."""
+    threshold_p -> OBJ (reference model/ifnet.py:232-234).
+
+    This is the latency-sensitive serving path, so the device->host pull of
+    the value grid defaults to float16 (quantizes the sigmoid field by
+    ~5e-4 -> marching-cubes vertex shifts <1e-3 voxel at the 0.5 level —
+    see evaluate_on_grid); pass transfer_dtype=jnp.float32 for exact."""
     value_grid = evaluate_on_grid(
-        model, variables, grid, resolution, res_increase, slab_rows, mesh
+        model, variables, grid, resolution, res_increase, slab_rows, mesh,
+        transfer_dtype=transfer_dtype,
     )
     from sv3d_tpu.utils.visualize import visualize_sdf
 

@@ -166,6 +166,12 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if bool(args.rgb) == bool(args.distance):
         sys.exit("pass exactly one of --rgb / --distance")
+    if args.skip_unet and args.rgb:
+        sys.exit(
+            "--skip_unet builds the model WITHOUT a UNet (checkpoints trained "
+            "with skip_unet have no depth regressor), so it cannot serve --rgb "
+            "inputs; pass --distance EXRs instead"
+        )
     inputs = _expand(args.rgb or args.distance, ".png" if args.rgb else ".exr")
     if not inputs:
         sys.exit("no input files found")

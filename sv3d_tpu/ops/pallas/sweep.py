@@ -33,8 +33,11 @@ per chunk):
     resize matrix (3*g2p, r2p).  Wins when C*H is large and g2 << r2: at
     full scale the three deepest levels drop 9-18x in flops.
 
-Layout rules that make every in-kernel reshape free (see
-~/.claude memory tpu-env-traps: lane dims pad to 128, sublane dims to 8):
+Layout rules that make every in-kernel reshape free (Mosaic tiles the last
+two dims of every VMEM block: the trailing "lane" dim pads to a multiple of
+128 and the second-to-last "sublane" dim to a multiple of 8, so any reshape
+that would split or merge across a tile boundary materializes a relayout —
+see ARCHITECTURE.md "Environment gotchas"):
 
   * r2 is padded to a 128 multiple (r2p) so (X, Ta, r2p) <-> (X, Ta*r2p)
     merges never cross lanes; the padded output columns hold bias-only

@@ -27,6 +27,14 @@ def main():
     p.add_argument("--fixture", required=True)
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--dp", type=int, default=2)
+    p.add_argument(
+        "--cycle_restore_dir",
+        default=None,
+        help="after the first save, rebuild a FRESH state, restore the "
+        "checkpoint from this directory (the primary process's exp dir), "
+        "and continue training 2 more steps + a second save — the orbax "
+        "collective-barrier path that only exists when process_count > 1",
+    )
     args = p.parse_args()
 
     sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -106,6 +114,33 @@ def main():
     trainer.ckpt.save(state, metric=losses[-1])
     trainer.logger.log({"train_ce_loss": losses[-1]}, args.steps)
 
+    cycle = {}
+    if args.cycle_restore_dir:
+        # save -> restore -> continue: every process participates in the
+        # restore and the second save (orbax runs global sync barriers when
+        # process_count > 1; any process skipping a call would deadlock the
+        # rest).  The fresh state starts from a DIFFERENT rng so the restore
+        # provably overwrites it.
+        from sv3d_tpu.training.checkpoint import load_state_from_checkpoint
+
+        fresh = trainer._put_state(trainer.build_state(jax.random.PRNGKey(999)))
+        restored = load_state_from_checkpoint(
+            fresh, Path(args.cycle_restore_dir) / "last"
+        )
+        cycle["restored_step"] = int(restored.step)
+        restored = trainer._put_state(restored)
+        cycle_losses = []
+        for _ in range(2):
+            batch = next(it)
+            restored, metrics = trainer.train_step(
+                restored, trainer._put(batch), trainer._next_rng()
+            )
+            cycle_losses.append(float(metrics["train_ce_loss"]))
+        trainer.ckpt.save(restored, metric=cycle_losses[-1])
+        cycle["cycle_losses"] = cycle_losses
+        cycle["cycle_step"] = int(restored.step)
+        state = restored
+
     # state is fully replicated -> every process can read it locally;
     # fingerprint = per-leaf float64 sums of params + final step
     leaves = jax.tree.leaves(jax.tree.map(lambda x: np.asarray(x), state.params))
@@ -116,6 +151,7 @@ def main():
         "losses": losses,
         "checksum": checksum,
         "process_count": jax.process_count(),
+        **cycle,
     }
     Path(args.out).write_text(json.dumps(out))
     print(f"[worker {args.pid}] done: step={out['step']} losses={losses}", flush=True)

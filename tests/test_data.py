@@ -75,6 +75,41 @@ def test_dataloader_batching():
     assert isinstance(b["mesh"], list) and len(b["mesh"]) == 4
 
 
+def test_dataloader_wraparound_pad_uniform():
+    """A partial final batch (drop_last=False) is wraparound-padded to full
+    size in EVERY mode, so single- and multi-process runs see the same
+    effective epoch and the jitted train step keeps one static batch shape."""
+
+    class _Tiny:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full(2, i, np.float32)}
+
+    single = DataLoader(_Tiny(), batch_size=4, shuffle=False, seed=0)
+    batches = list(single)
+    assert len(batches) == 3
+    assert all(b["x"].shape == (4, 2) for b in batches)
+    # final batch: rows 8, 9 then wraparound to 0, 1
+    np.testing.assert_array_equal(batches[-1]["x"][:, 0], [8, 9, 0, 1])
+
+    # two-process assembly of the same epoch equals the single-process batches
+    shards = [
+        list(
+            DataLoader(
+                _Tiny(), batch_size=4, shuffle=False, seed=0,
+                process_index=p, process_count=2,
+            )
+        )
+        for p in range(2)
+    ]
+    for b, (s0, s1) in enumerate(zip(*shards)):
+        np.testing.assert_array_equal(
+            np.concatenate([s0["x"], s1["x"]]), batches[b]["x"]
+        )
+
+
 def test_dataloader_workers_and_prefetch():
     ds = ImplicitDataset("train", FIXTURE_DATA, num_points=8, splitsdir="overfit")
     loader = DataLoader(ds, batch_size=8, num_workers=2, prefetch=2)

@@ -43,9 +43,14 @@ def test_evaluate_on_grid_device_matches_host(small_model):
         evaluate_on_grid_device(model, variables, levels, dims, slab_rows=4)
     )[: dims[0]]
     np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-6)
-    # default f16 device->host transfer quantizes the sigmoid field by at
+    # the default f32 transfer is exact
+    f32 = evaluate_on_grid(model, variables, grid, dims, slab_rows=4)
+    np.testing.assert_allclose(f32, host, rtol=0, atol=0)
+    # opt-in f16 device->host transfer quantizes the sigmoid field by at
     # most ~2.5e-4 (f16 eps at 0.5 is 4.9e-4, round-to-nearest halves it)
-    f16 = evaluate_on_grid(model, variables, grid, dims, slab_rows=4)
+    f16 = evaluate_on_grid(
+        model, variables, grid, dims, slab_rows=4, transfer_dtype=jnp.float16
+    )
     np.testing.assert_allclose(f16, host, atol=5e-4)
 
 
