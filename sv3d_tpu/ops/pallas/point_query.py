@@ -332,16 +332,35 @@ def _make_kernel(dims, c: int, g2p: int, g1p: int, rows: int, wrows: int,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (T, g2p)
-                h2 = jnp.where(kvalid, _hat(dix2, kidx), 0.0)
-                feat = jax.lax.dot_general(
-                    (pencil * h2).astype(jnp.bfloat16),
-                    fold,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (T, c)
-                out_ref[0, :, d * c : (d + 1) * c] = feat
+                out_ref[0, :, d * c : (d + 1) * c] = _fold_k(
+                    pencil, dix2, kvalid, kidx, fold, c, g2, g2p, tile
+                )
 
     return kernel
+
+
+def _fold_k(pencil, dix2, kvalid, kidx, fold, c, g2, g2p, tile):
+    """Axis-2 interpolation of a (T, g2p) pencil down to (T, c) features.
+
+    C == 128 (vreg lane width): the k axis is a static loop of lane-ALIGNED
+    128-wide pencil slices FMA'd on the VPU with per-query hat weights —
+    2*g2*T*128 VPU flops instead of the 2*T*g2p*C fold matmul (the dominant
+    cost on the two C=128 pyramid levels: 3.2 + 1.6 MFLOP/point of the
+    1-D kernel's 39.4 total at full dims), and f32 throughout (the matmul
+    fold rounds the pencil to bf16).  Other C: the constant 0/1 fold matmul
+    (k-major lane layout makes a VPU reduction a relayout there)."""
+    if c == 128 and g2p == g2 * c:
+        feat = pencil[:, :c] * _hat(dix2, 0.0)
+        for k in range(1, g2):
+            feat += pencil[:, k * c : (k + 1) * c] * _hat(dix2, float(k))
+        return feat
+    h2 = jnp.where(kvalid, _hat(dix2, kidx), 0.0)
+    return jax.lax.dot_general(
+        (pencil * h2).astype(jnp.bfloat16),
+        fold,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, c)
 
 
 @functools.partial(
@@ -529,14 +548,9 @@ def _make_kernel_banded(dims, c: int, g2p: int, wcols: int, rows: int,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (T, g2p)
-                h2 = jnp.where(kvalid, _hat(dix2, kidx), 0.0)
-                feat = jax.lax.dot_general(
-                    (pencil * h2).astype(jnp.bfloat16),
-                    fold,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (T, c)
-                out_ref[0, :, d * c : (d + 1) * c] = feat
+                out_ref[0, :, d * c : (d + 1) * c] = _fold_k(
+                    pencil, dix2, kvalid, kidx, fold, c, g2, g2p, tile
+                )
 
     return kernel
 
