@@ -556,9 +556,7 @@ def _make_kernel_banded(dims, c: int, g2p: int, wcols: int, rows: int,
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("dims", "align_corners", "displacement", "g0_fine",
-                     "g1_fine", "band_cols", "tile", "interpret"),
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14)
 )
 def level_features_banded(
     vol: jnp.ndarray,
@@ -580,8 +578,47 @@ def level_features_banded(
     """level_features over a 2-D (slab, band) bucketing from
     bucket_queries_2d.  Identical semantics; ~2x fewer issued matmul FLOPs
     at full dims (K = wrows*WCOLS instead of wrows*g1p on the full-res
-    levels).  INFERENCE-ONLY: no custom VJP is registered for this variant
-    (training's fused path keeps the 1-D bucketing of level_features_diff)."""
+    levels).  INFERENCE-ONLY: differentiating it raises NotImplementedError
+    (training's fused path keeps the 1-D bucketing of level_features_diff,
+    which has a full VJP)."""
+    return _level_features_banded_impl(
+        vol, q0, q1, q2, tile_slab, tile_band, tile_used, dims, g0_fine,
+        g1_fine, align_corners, displacement, band_cols, tile, interpret,
+    )
+
+
+def _lfb_fwd(vol, q0, q1, q2, tile_slab, tile_band, tile_used, dims, g0_fine,
+             g1_fine, align_corners, displacement, band_cols, tile, interpret):
+    out = _level_features_banded_impl(
+        vol, q0, q1, q2, tile_slab, tile_band, tile_used, dims, g0_fine,
+        g1_fine, align_corners, displacement, band_cols, tile, interpret,
+    )
+    return out, None
+
+
+def _lfb_bwd(dims, g0_fine, g1_fine, align_corners, displacement, band_cols,
+             tile, interpret, residuals, cotangent):
+    raise NotImplementedError(
+        "level_features_banded (the bands= 2-D bucketed point-query kernel) "
+        "is INFERENCE-ONLY: it has no backward kernel.  For training/"
+        "gradients use the 1-D bucketed path (bands=None), which routes "
+        "through level_features_diff and its custom VJP."
+    )
+
+
+level_features_banded.defvjp(_lfb_fwd, _lfb_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "align_corners", "displacement", "g0_fine",
+                     "g1_fine", "band_cols", "tile", "interpret"),
+)
+def _level_features_banded_impl(
+    vol, q0, q1, q2, tile_slab, tile_band, tile_used, dims, g0_fine: int,
+    g1_fine: int, align_corners: bool, displacement: float, band_cols: int,
+    tile: int = TILE, interpret: bool = False,
+) -> jnp.ndarray:
     b, g0, g1, g2, c = vol.shape
     p = q0.shape[1]
     nt = p // tile
