@@ -188,13 +188,24 @@ def main():
         pc = trainer.model.apply(variables, depth_in, method="project_depth")
         vox = trainer.model.apply(variables, pc, method=lambda m, p: m.project(p))
         pred_path = mesh_dir / f"{name}.obj"
-        implicit_to_mesh(ifnet, ifnet_vars, vox, cfg.dims, 0.5, pred_path)
-
-        pred = load_obj(pred_path)
-        pred.apply_translation(-dims / 2).apply_scale(1.0 / dims)
-        gt = load_obj(Path(sample["mesh"]))
-        gt.apply_translation(-dims / 2).apply_scale(1.0 / dims)
-        m = eval_mesh(pred, gt, -0.5, 0.5, n_points=args.eval_points)
+        try:
+            implicit_to_mesh(ifnet, ifnet_vars, vox, cfg.dims, 0.5, pred_path)
+            pred = load_obj(pred_path)
+            pred.apply_translation(-dims / 2).apply_scale(1.0 / dims)
+            gt = load_obj(Path(sample["mesh"]))
+            gt.apply_translation(-dims / 2).apply_scale(1.0 / dims)
+            m = eval_mesh(pred, gt, -0.5, 0.5, n_points=args.eval_points)
+        except (ValueError, RuntimeError) as e:
+            # an empty/degenerate predicted mesh (e.g. the field never
+            # crosses threshold) scores worst-case instead of killing the
+            # whole artifact at one bad scene; chamfer is left out of the
+            # mean (no bounded worst case exists for it)
+            per_scene.append(
+                {"name": sample["name"], "iou": 0.0, "chamfer_l2": None,
+                 "normals": 0.0, "failed": str(e)[:120]}
+            )
+            print(f"test scene {sample['name']}: FAILED ({e})", flush=True)
+            continue
         per_scene.append(
             {"name": sample["name"], "iou": round(m["iou"], 4),
              "chamfer_l2": round(m["chamfer_l2"], 6),
@@ -215,8 +226,14 @@ def main():
         "steps": args.steps, "batch_size": args.batch_size,
         "train_seconds": round(train_s, 1),
         "iou": round(float(np.mean([s["iou"] for s in per_scene])), 4),
-        "chamfer_l2": round(float(np.mean([s["chamfer_l2"] for s in per_scene])), 6),
+        "chamfer_l2": (
+            round(float(np.mean(chams)), 6)
+            if (chams := [s["chamfer_l2"] for s in per_scene
+                          if s["chamfer_l2"] is not None])
+            else None
+        ),
         "normals": round(float(np.mean([s["normals"] for s in per_scene])), 4),
+        "n_failed": sum(1 for s in per_scene if "failed" in s),
         "per_scene": per_scene,
         "note": (
             "metrics are means over HELD-OUT test scenes never seen in "
