@@ -151,13 +151,12 @@ class Config:
         object.__setattr__(self, "sigma", _triple(tuple(self.sigma)))
         if self.seed == -1:
             object.__setattr__(self, "seed", random.randint(0, 999))
-        if self.fused_query and self.precision == 16:
-            # the fused kernels are already bf16 inside (f32 interface);
-            # stacking module-level bf16 on top trips cotangent dtypes
-            raise ValueError(
-                "fused_query already runs bf16 compute internally; use it "
-                "with precision=32 (the float32 interface)"
-            )
+        # fused_query + precision=16 is a supported combination: the UNet and
+        # IF-Net encoder convs run bf16 (MXU-native) while the fused Pallas
+        # query keeps its float32 interface — query_fused casts the pyramid
+        # back to f32 at its boundary (it is already bf16-compute inside with
+        # f32 accumulation, so module-level bf16 adds nothing to the query
+        # itself; what precision=16 buys with fused_query is bf16 convs).
         if self.fused_query and self.net_res == 32 and self.scale_factor < 2:
             # Measured on v5e: the 32-res pyramid keeps a 64-channel level at
             # FULL grid resolution, so the fused kernel's per-slab VMEM table

@@ -338,6 +338,16 @@ class IFNet(nn.Module):
         kernels = tuple(self.mlp_kernels)
         biases = tuple(self.mlp_biases)
         cfg = self.config
+        # f32 interface: a bf16 pyramid (precision=16 encoder convs) is cast
+        # back here so the kernel's custom VJP sees f32 operands/cotangents;
+        # the cast's transpose returns the cotangent to bf16 for the conv
+        # backward.  The kernel re-casts to bf16 internally for compute, so
+        # this costs one elementwise pass, not accuracy.
+        if any(f.dtype != jnp.float32 for f in levels.flats):
+            levels = Pyramid(
+                [f.astype(jnp.float32) for f in levels.flats], levels.dims
+            )
+        points = points.astype(jnp.float32)
         b, n, _ = points.shape
         if mesh is not None and mesh != "local":
             dp, sp = mesh.shape["dp"], mesh.shape["sp"]
