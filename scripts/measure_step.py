@@ -47,13 +47,28 @@ def timeit(fn, *args, n=5):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--set", choices=["base", "fused", "all"], default="base",
+                    help="which train-step configs to measure (fused kernels "
+                    "cost tens of seconds of Mosaic compile each on a cold "
+                    "cache)")
+    ap.add_argument("--skip_ops", action="store_true",
+                    help="skip the per-op section, only time train steps")
+    args, _ = ap.parse_known_args()
+
     from sv3d_tpu.config import Config, IFNetConfig
     from sv3d_tpu.models.ifnet import IFNet
     from sv3d_tpu.ops.voxelize import gaussian_kernels_1d, scatter_voxels, voxelize
 
     rng = jax.random.PRNGKey(0)
     pts_vox = jax.random.uniform(rng, (B, 76800, 3), jnp.float32, -0.45, 0.45)
+    pts_q = jax.random.uniform(rng, (B, N_POINTS, 3), jnp.float32, -0.45, 0.45)
     sigma = jnp.asarray([1.5, 1.5, 1.5])
+
+    if args.skip_ops:
+        return _steps(args, rng, pts_q)
 
     scatter = jax.jit(lambda p: scatter_voxels(p, DIMS))
     f_scatter = lambda p: scatter(p)[0, 0, 0, 0].item()
@@ -81,7 +96,6 @@ def main():
     model = IFNet(IFNetConfig.for_net_res(128))
     grid = (jax.random.uniform(rng, (B, *DIMS, 1)) > 0.97).astype(jnp.float32)
     variables = model.init(jax.random.PRNGKey(1), grid[:1], jnp.zeros((1, 8, 3)), train=False)
-    pts_q = jax.random.uniform(rng, (B, N_POINTS, 3), jnp.float32, -0.45, 0.45)
 
     encode = jax.jit(lambda v, g: model.apply(v, g, train=False, method=IFNet.encode))
     levels = encode(variables, grid)
@@ -106,8 +120,17 @@ def main():
     f_gq = lambda v, lv, p: gq(v, lv, p)[1][0, 0, 0].item()
     print(f"query grad      (B={B}, {N_POINTS} pts): {timeit(f_gq, variables, levels, pts_q)*1e3:8.2f} ms")
 
-    # full scene-net train step
+    return _steps(args, rng, pts_q)
+
+
+def _steps(args, rng, pts_q):
+    """Full scene-net train steps (fwd+bwd+adam) across precision/fused
+    configs, with XLA's issued-flop estimate -> MFU per config."""
+    import jax
+    import jax.numpy as jnp
+
     from __graft_entry__ import _INTRINSICS
+    from sv3d_tpu.config import Config
     from sv3d_tpu.geometry.frustum import FrustumGrid
     from sv3d_tpu.models.scene_net import SceneNet
     from sv3d_tpu.training.optim import build_optimizer
@@ -115,11 +138,18 @@ def main():
     from sv3d_tpu.training.trainer_scene_net import make_train_step
 
     # full-scale f32 at B=8 needs ~17 GB (XLA keeps (...,16) conv cotangents
-    # in an 8x lane-padded layout) — measure the configs that fit a 16 GB v5e:
-    # f32 at B=4, bf16 (--precision 16) at B=8
-    for bsz, precision in ((4, 32), (8, 16)):
+    # in an 8x lane-padded layout) — measure the configs that fit a 16 GB v5e.
+    # fused=True routes queries through the Pallas kernels (Config.fused_query);
+    # precision=16 there means bf16 UNet/IF-Net encoder convs with the f32
+    # kernel interface (the conv-bound-remainder lever, VERDICT r2 item 7).
+    base_cfgs = [(4, 32, False), (8, 16, False)]
+    fused_cfgs = [(4, 32, True), (4, 16, True), (8, 16, True)]
+    step_cfgs = {"base": base_cfgs, "fused": fused_cfgs,
+                 "all": base_cfgs + fused_cfgs}[args.set]
+
+    for bsz, precision, fused in step_cfgs:
         cfg = Config(seed=0, num_points=2048, batch_size=bsz, net_res=128,
-                     precision=precision)
+                     precision=precision, fused_query=fused)
         frustum = FrustumGrid.create(_INTRINSICS, voxel_size=0.05)
         snet = SceneNet(cfg, _INTRINSICS, frustum)
         rgb = jax.random.uniform(rng, (bsz, 240, 320, 3), jnp.float32, -1, 1)
@@ -134,9 +164,27 @@ def main():
             s2, m = step(state, rgb, depth_t, p, occ, jax.random.PRNGKey(3))
             return m["train_loss"].item()
 
+        tag = f"B={bsz}, f{precision}" + (", fused" if fused else "")
         dt = timeit(f_step, state, rgb, depth_t, pts_b, occ)
-        print(f"train step      (B={bsz}, f{precision}):    {dt*1e3:8.2f} ms"
-              f"  ({bsz/dt:.1f} samples/s)")
+        # XLA's own flop estimate for the whole step -> model FLOP utilization
+        # (v5e peak: 197 TFLOP/s bf16; conservative yardstick for f32 configs
+        # too, since MXU f32 matmuls lower to bf16x passes)
+        mfu = ""
+        try:
+            lowered = jax.jit(step).lower(
+                state, rgb, depth_t, pts_b, occ, jax.random.PRNGKey(3)
+            )
+            ca = lowered.compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0))
+            if flops > 0:
+                mfu = (f"  [{flops/1e9:.1f} GFLOP issued, "
+                       f"{flops/dt/1e12:.1f} TFLOP/s = "
+                       f"{flops/dt/197e12*100:.1f}% bf16 peak]")
+        except Exception as e:  # cost model availability varies per backend
+            mfu = f"  [cost_analysis unavailable: {type(e).__name__}]"
+        print(f"train step      ({tag}): {dt*1e3:8.2f} ms"
+              f"  ({bsz/dt:.1f} samples/s){mfu}")
 
 
 if __name__ == "__main__":
