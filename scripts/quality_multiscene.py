@@ -90,6 +90,10 @@ def main():
     p.add_argument("--precision", type=int, default=32)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--stage", choices=["all", "data", "train", "eval"], default="all")
+    p.add_argument("--resume_last", action="store_true",
+                   help="continue the train stage from <exp>/checkpoints/last "
+                   "if it exists (tunnel-outage recovery; fit() counts "
+                   "max_steps from the restored global step)")
     p.add_argument("--exp", default="runs/quality_multiscene")
     p.add_argument("--out", default="QUALITY_MULTISCENE_r3.json")
     args = p.parse_args()
@@ -140,6 +144,11 @@ def main():
         val_check_percent=1.0,
     )
     exp_dir = Path(args.exp)
+    if args.resume_last and (exp_dir / "checkpoints" / "last").exists():
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, resume=str(exp_dir / "checkpoints" / "last"))
+        print(f"resuming from {cfg.resume}", flush=True)
     trainer = SceneNetTrainer(cfg, experiment_dir=exp_dir)
     assert len(trainer.train_dataset()) == args.n_train
     assert len(trainer.val_dataset()) == args.n_val
