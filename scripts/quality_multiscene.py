@@ -153,12 +153,15 @@ def main():
     assert len(trainer.train_dataset()) == args.n_train
     assert len(trainer.val_dataset()) == args.n_val
 
+    stats_path = exp_dir / "train_stats.json"
     if args.stage in ("all", "train"):
         t0 = time.time()
         state = trainer.fit(max_steps=args.steps)
         train_s = time.time() - t0
         print(f"trained {args.steps} steps in {train_s:.1f}s "
               f"({args.steps / train_s:.2f} steps/s)", flush=True)
+        # persist for a later --stage eval invocation (NaN is not valid JSON)
+        stats_path.write_text(json.dumps({"train_seconds": round(train_s, 1)}))
         if args.stage == "train":
             return
     else:
@@ -166,7 +169,10 @@ def main():
 
         state = trainer.build_state(trainer._next_rng())
         state = load_state_from_checkpoint(state, exp_dir / "checkpoints" / "last")
-        train_s = float("nan")
+        train_s = (
+            json.loads(stats_path.read_text())["train_seconds"]
+            if stats_path.exists() else None
+        )
 
     # --- per-test-scene mesh extraction + metrics (reference protocol:
     # normalize both meshes to unit space, sample 100k surface points,
@@ -233,7 +239,7 @@ def main():
         "n_train": args.n_train, "n_val": args.n_val, "n_test": args.n_test,
         "scale_factor": args.scale_factor, "net_res": args.net_res,
         "steps": args.steps, "batch_size": args.batch_size,
-        "train_seconds": round(train_s, 1),
+        "train_seconds": round(train_s, 1) if train_s is not None else None,
         "iou": round(float(np.mean([s["iou"] for s in per_scene])), 4),
         "chamfer_l2": (
             round(float(np.mean(chams)), 6)
