@@ -164,11 +164,25 @@ def main():
         stats_path.write_text(json.dumps({"train_seconds": round(train_s, 1)}))
         if args.stage == "train":
             return
+        eval_ckpt = "end-of-fit state"
     else:
         from sv3d_tpu.training.checkpoint import load_state_from_checkpoint
 
+        # reference protocol evaluates the best-val checkpoint (ModelCheckpoint
+        # top-k on val_ce_loss, reference trainer_scene_net.py:217); fall back
+        # to `last` when no validation ran during fit
+        ckpt_dir = exp_dir / "checkpoints"
+        ckpt = ckpt_dir / "last"
+        manifest = ckpt_dir / "manifest.json"
+        if manifest.exists():
+            scores = json.loads(manifest.read_text())["scores"]
+            if scores:
+                ckpt = Path(scores[0][1])
+                print(f"evaluating best-val checkpoint {ckpt} "
+                      f"({trainer.monitor}={scores[0][0]:.4f})", flush=True)
         state = trainer.build_state(trainer._next_rng())
-        state = load_state_from_checkpoint(state, exp_dir / "checkpoints" / "last")
+        state = load_state_from_checkpoint(state, ckpt)
+        eval_ckpt = ckpt.name
         train_s = (
             json.loads(stats_path.read_text())["train_seconds"]
             if stats_path.exists() else None
@@ -240,6 +254,7 @@ def main():
         "scale_factor": args.scale_factor, "net_res": args.net_res,
         "steps": args.steps, "batch_size": args.batch_size,
         "train_seconds": round(train_s, 1) if train_s is not None else None,
+        "eval_checkpoint": eval_ckpt,
         "iou": round(float(np.mean([s["iou"] for s in per_scene])), 4),
         "chamfer_l2": (
             round(float(np.mean(chams)), 6)
