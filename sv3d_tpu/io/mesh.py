@@ -113,9 +113,17 @@ def load_obj(path: str | Path) -> TriMesh:
 
 
 def save_obj(path: str | Path, vertices: np.ndarray, faces: np.ndarray | None = None):
-    with open(path, "w") as f:
-        for v in np.asarray(vertices):
-            f.write(f"v {v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n")
-        if faces is not None:
-            for face in np.asarray(faces, dtype=np.int64) + 1:
-                f.write(f"f {face[0]} {face[1]} {face[2]}\n")
+    try:
+        # native one-pass formatter (identical bytes; the Python loop was
+        # ~0.39 s per full-scale scene mesh — a quarter of serving latency)
+        from sv3d_tpu.native import format_obj
+    except Exception:  # no compiler on this host: per-line fallback
+        with open(path, "w") as f:
+            for v in np.asarray(vertices):
+                f.write(f"v {v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n")
+            if faces is not None:
+                for face in np.asarray(faces, dtype=np.int64) + 1:
+                    f.write(f"f {face[0]} {face[1]} {face[2]}\n")
+        return
+    with open(path, "wb") as f:
+        f.write(format_obj(np.asarray(vertices).reshape(-1, 3), faces))

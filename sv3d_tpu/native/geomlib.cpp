@@ -13,9 +13,11 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <queue>
+#include <string>
 #include <vector>
 
 extern "C" {
@@ -617,5 +619,42 @@ void kd_query(void* handle, const float* queries, int64_t nq,
 }
 
 void kd_free(void* handle) { delete (KdTree*)handle; }
+
+// ---------------------------------------------------------------------------
+// OBJ text serialization
+// ---------------------------------------------------------------------------
+// The serving path ends in an .obj dump (visualize_sdf -> save_obj); the
+// per-line Python formatter measured ~0.39 s on a 57k-vert/115k-tri
+// full-scale scene mesh — a quarter of the warm image->mesh latency.  This
+// emits the identical text ("v %.8g %.8g %.8g" / 1-based "f %d %d %d" lines,
+// matching Python's f"{x:.8g}" shortest-round-trip-of-8-significant-digits)
+// in one pass.  verts are double so Python float32/float64 inputs format
+// exactly like the Python formatter (which also prints via double).
+
+// Returns a malloc'd text buffer (length in *out_len, no trailing NUL
+// guarantee beyond *out_len bytes); free with obj_free.
+char* obj_format(const double* verts, int64_t n_verts,
+                 const int32_t* tris, int64_t n_tris, int64_t* out_len) {
+  std::string out;
+  out.reserve((size_t)n_verts * 40 + (size_t)n_tris * 27 + 64);
+  char line[96];
+  for (int64_t i = 0; i < n_verts; ++i) {
+    const double* v = verts + i * 3;
+    int n = snprintf(line, sizeof line, "v %.8g %.8g %.8g\n", v[0], v[1], v[2]);
+    out.append(line, (size_t)n);
+  }
+  for (int64_t i = 0; i < n_tris; ++i) {
+    const int32_t* t = tris + i * 3;
+    int n = snprintf(line, sizeof line, "f %d %d %d\n", t[0] + 1, t[1] + 1,
+                     t[2] + 1);
+    out.append(line, (size_t)n);
+  }
+  char* buf = (char*)std::malloc(out.size() ? out.size() : 1);
+  std::memcpy(buf, out.data(), out.size());
+  *out_len = (int64_t)out.size();
+  return buf;
+}
+
+void obj_free(char* buf) { std::free(buf); }
 
 }  // extern "C"

@@ -75,3 +75,29 @@ def test_kdtree_exact_hits(rng):
     dist, idx = kd.query(pts)
     np.testing.assert_allclose(dist, 0, atol=1e-6)
     assert (idx == np.arange(100)).all()
+
+
+def test_format_obj_matches_python_formatter(rng):
+    """The native OBJ serializer must be byte-identical to the per-line
+    f"{x:.8g}" formatter it replaced (save_obj's fallback path)."""
+    from sv3d_tpu.native import format_obj
+
+    verts = np.concatenate(
+        [
+            rng.uniform(-300, 300, (500, 3)),
+            rng.uniform(-1e-7, 1e-7, (50, 3)),
+            rng.uniform(-1e12, 1e12, (50, 3)),
+            np.round(rng.uniform(-50, 50, (50, 3))),
+            np.zeros((2, 3)),
+        ]
+    ).astype(np.float32)
+    faces = rng.integers(0, len(verts), (900, 3))
+    expect = "".join(
+        [f"v {v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n" for v in verts]
+        + [f"f {f[0]} {f[1]} {f[2]}\n" for f in faces + 1]
+    ).encode()
+    assert format_obj(verts, faces) == expect
+    # float64 inputs and the faces=None (point list) form
+    assert format_obj(verts.astype(np.float64)[:7]) == "".join(
+        f"v {v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n" for v in verts.astype(np.float64)[:7]
+    ).encode()
