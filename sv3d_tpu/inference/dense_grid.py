@@ -152,7 +152,9 @@ def evaluate_on_grid(
     image->mesh latency (measured 3.8 s through this environment's tunneled
     chip; halved bytes help real PCIe hosts too).  float16 resolves the
     sigmoid field to ~5e-4, i.e. marching-cubes vertex shifts of <1e-3 voxel
-    at the 0.5 level.  None skips the cast entirely.
+    at the 0.5 level.  jnp.uint8 quarters the f32 bytes (fixed-point x/255,
+    field error <=2e-3 -> vertex shifts still <0.01 voxel); the returned
+    array is always float32 in [0, 1] regardless.  None skips the cast.
     """
     resolution = tuple(int(x) for x in resolution)
     res = tuple(x * res_increase for x in resolution)
@@ -161,6 +163,9 @@ def evaluate_on_grid(
     out = evaluate_on_grid_device(
         model, variables, levels, resolution, res_increase, slab_rows, mesh
     )
+    if transfer_dtype == jnp.uint8:
+        host = np.asarray((out[: res[0]] * 255.0 + 0.5).astype(jnp.uint8))
+        return host.astype(np.float32) / np.float32(255.0)
     if transfer_dtype is not None:
         out = out.astype(transfer_dtype)
     return np.asarray(out[: res[0]]).astype(np.float32)

@@ -52,6 +52,14 @@ def test_evaluate_on_grid_device_matches_host(small_model):
         model, variables, grid, dims, slab_rows=4, transfer_dtype=jnp.float16
     )
     np.testing.assert_allclose(f16, host, atol=5e-4)
+    # opt-in uint8 fixed-point transfer (quarter bytes): x/255 resolves the
+    # field to 1/510, and the return contract stays float32 in [0, 1]
+    u8 = evaluate_on_grid(
+        model, variables, grid, dims, slab_rows=4, transfer_dtype=jnp.uint8
+    )
+    assert u8.dtype == np.float32
+    assert 0.0 <= u8.min() and u8.max() <= 1.0
+    np.testing.assert_allclose(u8, host, atol=1.0 / 510 + 1e-6)
 
 
 def test_evaluate_points_matches_grid_on_lattice(small_model):
