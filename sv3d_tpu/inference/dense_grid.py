@@ -219,12 +219,27 @@ def evaluate_points(
     instead of XLA gathers; bf16 compute, inference-grade (~1e-2 relative
     logit tolerance — opt out with use_pallas=False for exact f32 gathers).
     bands opts the fused path into 2-D (slab, band) bucketing — ~2x fewer
-    issued matmul FLOPs at full dims (ARCHITECTURE.md §9).
+    issued matmul FLOPs at full dims (ARCHITECTURE.md §9).  bands="auto"
+    picks the band count minimizing the static issued-FLOP model for this
+    grid and query count (ops/pallas/cost.py choose_bands; e.g. at 262k
+    queries: 8 at full IF-Net-128 dims, 4 at half scale).
 
     With a mesh the point axis is sharded over ALL its devices (dp and sp
     flattened) and the fused kernel runs per-shard under shard_map."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if bands == "auto":
+        from sv3d_tpu.ops.pallas.cost import choose_bands
+
+        # the optimum depends on the query count: more buckets cut K but pad
+        # more of each 128-slot tile when points-per-bucket is low
+        bands = (
+            choose_bands(
+                model.config, tuple(int(s) for s in grid.shape[1:4]),
+                n=int(np.asarray(points).shape[0]),
+            )
+            if use_pallas else None
+        )
     levels = _encode_fn(model)(variables, grid)
     n_shards = mesh.shape["dp"] * mesh.shape["sp"] if mesh is not None else 1
 

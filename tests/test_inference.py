@@ -84,6 +84,36 @@ def test_evaluate_points_banded_fused_matches_gathers(small_model):
         model, variables, grid, pts, tile_points=256, use_pallas=True, bands=4
     )
     np.testing.assert_allclose(banded, exact, rtol=5e-2, atol=1e-2)
+    # bands="auto" resolves via the cost model and stays correct
+    auto = evaluate_points(
+        model, variables, grid, pts, tile_points=256, use_pallas=True,
+        bands="auto",
+    )
+    np.testing.assert_allclose(auto, exact, rtol=5e-2, atol=1e-2)
+
+
+def test_choose_bands_tracks_flop_model():
+    """The packaged cost model picks the documented optima (ARCHITECTURE §9)
+    and degrades to the 1-D path on tiny grids / non-pallas callers."""
+    from sv3d_tpu.config import Config
+    from sv3d_tpu.ops.pallas.cost import choose_bands, issued_flops_per_point
+
+    top = Config(net_res=128, scale_factor=1)
+    cfg, dims = top.ifnet(), tuple(top.dims)
+    assert choose_bands(cfg, dims, n=262144) == 8
+    # the pick actually minimizes the model it claims to minimize
+    costs = {
+        b: issued_flops_per_point(cfg, dims, b, n=262144) for b in (0, 4, 8, 16)
+    }
+    assert min(costs, key=costs.get) == 8
+    # banded cuts the 1-D issued work by >2x at full dims
+    assert costs[0] / costs[8] > 2.0
+    # fewer queries -> coarser bucketing wins (pad amortization)
+    assert choose_bands(cfg, dims, n=65536) == 16
+    half = Config(net_res=128, scale_factor=2)
+    assert choose_bands(half.ifnet(), tuple(half.dims), n=262144) == 4
+    tiny = Config(net_res=128, scale_factor=8)
+    assert choose_bands(tiny.ifnet(), tuple(tiny.dims), n=262144) is None
 
 
 def test_evaluate_points_sharded(small_model):
