@@ -228,18 +228,6 @@ def evaluate_points(
     flattened) and the fused kernel runs per-shard under shard_map."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if bands == "auto":
-        from sv3d_tpu.ops.pallas.cost import choose_bands
-
-        # the optimum depends on the query count: more buckets cut K but pad
-        # more of each 128-slot tile when points-per-bucket is low
-        bands = (
-            choose_bands(
-                model.config, tuple(int(s) for s in grid.shape[1:4]),
-                n=int(np.asarray(points).shape[0]),
-            )
-            if use_pallas else None
-        )
     levels = _encode_fn(model)(variables, grid)
     n_shards = mesh.shape["dp"] * mesh.shape["sp"] if mesh is not None else 1
 
@@ -247,6 +235,20 @@ def evaluate_points(
     m = pts.shape[0]
     tile = min(tile_points, m)
     tile = max((tile // n_shards) * n_shards, n_shards)
+    if bands == "auto":
+        from sv3d_tpu.ops.pallas.cost import choose_bands
+
+        # the kernel counting-buckets ONE tile per call (per shard), so that
+        # is the population the pad-amplification model must see: more bands
+        # cut the pencil K but pad more of each 128-slot compute tile as
+        # points-per-bucket drops
+        bands = (
+            choose_bands(
+                model.config, tuple(int(s) for s in grid.shape[1:4]),
+                n=max(tile // n_shards, 1),
+            )
+            if use_pallas else None
+        )
     n_tiles = -(-m // tile)
     padded = np.zeros((n_tiles, 1, tile, 3), dtype=np.float32)
     padded.reshape(-1, 3)[:m] = pts
