@@ -50,10 +50,11 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--set", choices=["base", "fused", "all"], default="base",
-                    help="which train-step configs to measure (fused kernels "
-                    "cost tens of seconds of Mosaic compile each on a cold "
-                    "cache)")
+    ap.add_argument("--set", choices=["base", "fused", "serving", "all"],
+                    default="base",
+                    help="which configs to measure (fused kernels cost tens "
+                    "of seconds of Mosaic compile each on a cold cache; "
+                    "serving = dense-sweep transfer-dtype A/B + mesh write)")
     ap.add_argument("--skip_ops", action="store_true",
                     help="skip the per-op section, only time train steps")
     args, _ = ap.parse_known_args()
@@ -67,8 +68,10 @@ def main():
     pts_q = jax.random.uniform(rng, (B, N_POINTS, 3), jnp.float32, -0.45, 0.45)
     sigma = jnp.asarray([1.5, 1.5, 1.5])
 
+    if args.set == "serving":
+        return _serving(rng)
     if args.skip_ops:
-        return _steps(args, rng, pts_q)
+        return _finish(args, rng, pts_q)
 
     scatter = jax.jit(lambda p: scatter_voxels(p, DIMS))
     f_scatter = lambda p: scatter(p)[0, 0, 0, 0].item()
@@ -120,7 +123,57 @@ def main():
     f_gq = lambda v, lv, p: gq(v, lv, p)[1][0, 0, 0].item()
     print(f"query grad      (B={B}, {N_POINTS} pts): {timeit(f_gq, variables, levels, pts_q)*1e3:8.2f} ms")
 
-    return _steps(args, rng, pts_q)
+    return _finish(args, rng, pts_q)
+
+
+def _finish(args, rng, pts_q):
+    _steps(args, rng, pts_q)
+    if args.set == "all":
+        _serving(rng)
+
+
+def _serving(rng):
+    """Image->mesh serving tail: dense sweep + device->host pull per
+    transfer dtype (the A/B that decides implicit_to_mesh's default), then
+    host marching cubes + the native OBJ write."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from sv3d_tpu.config import Config
+    from sv3d_tpu.inference.dense_grid import evaluate_on_grid
+    from sv3d_tpu.models.ifnet import IFNet
+    from sv3d_tpu.utils.visualize import visualize_sdf
+
+    model = IFNet(Config(net_res=128).ifnet())
+    grid = (jax.random.uniform(rng, (1, *DIMS, 1)) > 0.97).astype(jnp.float32)
+    variables = jax.jit(
+        lambda: model.init(
+            jax.random.PRNGKey(1), grid, jnp.zeros((1, 8, 3)), train=False
+        )
+    )()
+    value = None
+    for name, dt_ in (("f32", jnp.float32), ("f16", jnp.float16),
+                      ("u8", jnp.uint8)):
+        def run():
+            return evaluate_on_grid(
+                model, variables, grid, DIMS, res_increase=2, slab_rows=8,
+                transfer_dtype=dt_,
+            )
+
+        run()
+        run()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            value = run()
+            times.append(time.perf_counter() - t0)
+        print(f"dense sweep r_inc=2 + {name} pull:  {min(times)*1e3:8.1f} ms")
+    t0 = time.perf_counter()
+    visualize_sdf(1.0 - value, "/tmp/measure_serving.obj", 0.5)
+    print(f"marching cubes + native obj write:  "
+          f"{(time.perf_counter() - t0)*1e3:8.1f} ms")
 
 
 def _steps(args, rng, pts_q):
