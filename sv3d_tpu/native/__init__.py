@@ -10,6 +10,8 @@ older than the source.  Exposes:
 from __future__ import annotations
 
 import ctypes
+import os
+import shutil
 import subprocess
 from pathlib import Path
 
@@ -20,9 +22,32 @@ _LIB_PATH = _DIR / "libgeom.so"
 _SRC_PATH = _DIR / "geomlib.cpp"
 
 
+# Must match geom_abi_version() in geomlib.cpp; bump both on any exported-
+# signature change so stale binaries force a rebuild (an mtime check alone
+# misses binaries whose timestamps a git checkout / copy refreshed).
+_GEOM_ABI = 2
+
+
+def _make(force: bool = False):
+    subprocess.run(
+        ["make", "-C", str(_DIR)] + (["-B"] if force else []),
+        check=True, capture_output=True,
+    )
+
+
 def _ensure_built():
     if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC_PATH.stat().st_mtime:
-        subprocess.run(["make", "-C", str(_DIR)], check=True, capture_output=True)
+        _make()
+
+
+def _abi_ok(lib) -> bool:
+    try:
+        fn = lib.geom_abi_version
+    except AttributeError:  # predates the handshake entirely
+        return False
+    fn.restype = ctypes.c_long
+    fn.argtypes = []
+    return fn() == _GEOM_ABI
 
 
 class _McResult(ctypes.Structure):
@@ -45,6 +70,23 @@ class _ThResult(ctypes.Structure):
 def _load():
     _ensure_built()
     lib = ctypes.CDLL(str(_LIB_PATH))
+    if not _abi_ok(lib):
+        # Rebuild, then load through a temp copy: glibc caches dlopen by
+        # inode and the compiler truncates in place, so re-CDLL'ing the same
+        # path could hand back the stale mapping we just rejected.  Linux
+        # keeps the mapping valid after the unlink.
+        _make(force=True)
+        tmp = _DIR / f".libgeom.reload.{os.getpid()}.so"
+        shutil.copy2(_LIB_PATH, tmp)
+        try:
+            lib = ctypes.CDLL(str(tmp))
+        finally:
+            tmp.unlink(missing_ok=True)
+        if not _abi_ok(lib):
+            raise ImportError(
+                f"libgeom.so ABI mismatch persists after rebuild "
+                f"(expected {_GEOM_ABI}); run `make -B -C {_DIR}`"
+            )
     lib.mc_run.restype = ctypes.POINTER(_McResult)
     lib.mc_run.argtypes = [
         ctypes.POINTER(ctypes.c_float),

@@ -22,6 +22,13 @@
 
 extern "C" {
 
+// Interface version handshake: bump whenever an exported signature is added,
+// removed, or changed.  The Python loader (sv3d_tpu/native/__init__.py)
+// rebuilds the library when the loaded binary reports a different value —
+// a pure mtime check misses stale binaries whose timestamps were refreshed
+// by a git checkout or file copy.
+long geom_abi_version() { return 2; }
+
 // ---------------------------------------------------------------------------
 // Marching cubes
 // ---------------------------------------------------------------------------

@@ -101,3 +101,31 @@ def test_format_obj_matches_python_formatter(rng):
     assert format_obj(verts.astype(np.float64)[:7]) == "".join(
         f"v {v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n" for v in verts.astype(np.float64)[:7]
     ).encode()
+
+
+def test_abi_handshake_detects_stale_library(tmp_path):
+    """A binary missing geom_abi_version (or reporting the wrong one) must be
+    rejected so the loader rebuilds it — the pure mtime check misses stale
+    binaries whose timestamps a git checkout refreshed."""
+    import ctypes
+    import subprocess
+
+    from sv3d_tpu import native
+
+    assert native._abi_ok(native._lib)
+
+    src = tmp_path / "old.cpp"
+    src.write_text('extern "C" int unrelated_symbol() { return 0; }\n')
+    subprocess.run(
+        ["g++", "-O0", "-fPIC", "-shared", "-o", str(tmp_path / "old.so"), str(src)],
+        check=True,
+    )
+    assert not native._abi_ok(ctypes.CDLL(str(tmp_path / "old.so")))
+
+    src2 = tmp_path / "wrong.cpp"
+    src2.write_text('extern "C" long geom_abi_version() { return -1; }\n')
+    subprocess.run(
+        ["g++", "-O0", "-fPIC", "-shared", "-o", str(tmp_path / "wrong.so"), str(src2)],
+        check=True,
+    )
+    assert not native._abi_ok(ctypes.CDLL(str(tmp_path / "wrong.so")))
