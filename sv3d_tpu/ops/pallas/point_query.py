@@ -481,7 +481,12 @@ def _make_kernel_banded(dims, c: int, g2p: int, wcols: int, rows: int,
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         base = base_ref[bi, ti]
-        cbase = cbase_ref[bi, ti]
+        # cbase_ref holds the window start DIVIDED by 8: multiplying here
+        # lets Mosaic PROVE the dynamic sublane-dim slice offset is
+        # 8-divisible (a raw prefetched value fails "tile index in dimension
+        # 2 is divisible by the tiling (8)" at compile time on real TPUs,
+        # even though _band_windows only ever emits 8-aligned starts).
+        cbase = cbase_ref[bi, ti] * 8
 
         @pl.when(jnp.logical_and(ti == 0, bi == 0))
         def _():
@@ -634,7 +639,9 @@ def _level_features_banded_impl(
     )
     tile_base = jnp.asarray(tab_lo)[tile_slab]  # (B, NT)
     tile_woff = jnp.moveaxis(jnp.asarray(woff_np)[tile_slab], -1, 1)  # (B,3,NT)
-    tile_cbase = jnp.asarray(col_lo)[tile_band]  # (B, NT)
+    # stored /8 so the kernel reconstructs the offset as <prefetched>*8,
+    # which Mosaic can prove 8-divisible for the sublane-dim memref slice
+    tile_cbase = jnp.asarray(col_lo // 8)[tile_band]  # (B, NT)
 
     volp = vol.astype(jnp.bfloat16).reshape(b, g0, g1, g2c)
     if g2p != g2c or g1p != g1:
