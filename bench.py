@@ -67,7 +67,13 @@ def _roundtrip_cost():
 
 
 def bench_points():
-    """Dense-sweep throughput with a pre-encoded pyramid."""
+    """Dense-sweep throughput with a pre-encoded pyramid.
+
+    Returns (points_per_sec at SLAB_ROWS, {slab_rows: points_per_sec}).
+    The per-rows sweep exists so a builder-vs-driver headline gap (r3 saw
+    102.7M builder vs 84.0M driver at the same rows=8) is self-diagnosing:
+    if all rows shift together it is chip/tunnel state, if only one moves it
+    is a program regression."""
     from sv3d_tpu.config import IFNetConfig
     from sv3d_tpu.inference.dense_grid import evaluate_on_grid_device
     from sv3d_tpu.models.ifnet import IFNet
@@ -83,22 +89,34 @@ def bench_points():
 
     res = tuple(d * RES_INCREASE for d in DIMS)
     n_points = res[0] * res[1] * res[2]
-
-    def run():
-        out = evaluate_on_grid_device(
-            model, variables, levels, DIMS, RES_INCREASE, SLAB_ROWS
-        )
-        return float(jnp.sum(out[0, 0, :8]))  # force execution with a scalar pull
-
     rt = _roundtrip_cost()
-    run()  # compile + warmup
-    run()
-    times = []
-    for _ in range(N_TIMED):
-        t0 = time.perf_counter()
+
+    def measure(slab_rows):
+        def run():
+            out = evaluate_on_grid_device(
+                model, variables, levels, DIMS, RES_INCREASE, slab_rows
+            )
+            return float(jnp.sum(out[0, 0, :8]))  # force execution, scalar pull
+
+        run()  # compile + warmup
         run()
-        times.append(time.perf_counter() - t0 - rt)
-    return n_points / min(times)
+        times = []
+        for _ in range(N_TIMED):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0 - rt)
+        return n_points / min(times)
+
+    pps = measure(SLAB_ROWS)  # primary: must succeed
+    by_rows = {SLAB_ROWS: round(pps, 1)}
+    for rows in (2, 4):
+        try:
+            by_rows[rows] = round(measure(rows), 1)
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            if "crashed or restarted" in str(e):
+                raise
+            print(f"# rows={rows} sweep skipped: {e!r}", file=sys.stderr)
+    return pps, by_rows
 
 
 def bench_arbitrary_points():
@@ -342,7 +360,7 @@ def _guarded(fn, fallback, errors):
 
 def main():
     errors = []
-    pps = bench_points()  # primary metric: must succeed
+    pps, pps_by_rows = bench_points()  # primary metric: must succeed
     ref_pps = _guarded(bench_reference_scheme, 0.0, errors)
     arb_dev_pps, arb_banded_pps, arb_host_pps = _guarded(
         bench_arbitrary_points, (0.0, 0.0, 0.0), errors
@@ -365,6 +383,9 @@ def main():
                 "vs_baseline": round(pps / ref_pps, 3) if ref_pps > 0 else 0.0,
                 "reference_scheme_points_per_sec": round(ref_pps, 1),
                 "vs_v100_estimate": round(pps / BASELINE_POINTS_PER_SEC, 3),
+                "points_per_sec_by_slab_rows": {
+                    str(k): v for k, v in sorted(pps_by_rows.items())
+                },
                 "sec_per_scene_image_to_mesh": round(scene_s, 3),
                 "sec_per_scene_device": round(device_s, 3),
                 "sec_per_scene_marching_cubes": round(mc_s, 3),

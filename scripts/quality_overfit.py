@@ -155,6 +155,14 @@ def main():
             if args.use_unet
             else {"iou": 0.48, "chamfer_l2": 0.0007, "normals": 0.82}
         ),
+        "note": (
+            "OVERFIT protocol: train and eval on the SAME single fixture "
+            "sample (pipeline-correctness check, not generalization).  The "
+            "embedded `reference` numbers are the reference report's "
+            "TEST-SPLIT MEANS over 291 held-out scenes (BASELINE.md) — "
+            "apples-to-oranges with this artifact's iou; see "
+            "QUALITY_MULTISCENE_*.json for the held-out-scene counterpart"
+        ),
     }
     (out_dir / "quality.json").write_text(json.dumps(result, indent=2))
     print(json.dumps(result), flush=True)

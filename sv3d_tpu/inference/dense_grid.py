@@ -209,7 +209,7 @@ def evaluate_points(
     tile_points: int = 65536,
     mesh=None,
     use_pallas: bool | None = None,
-    bands: int | None = None,
+    bands: int | None | str = "auto",
 ) -> np.ndarray:
     """Sigmoid-occupancy at ARBITRARY points (M, 3) in [-0.5, 0.5], tiled at
     a fixed shape; points may be sharded over "sp".
@@ -218,11 +218,14 @@ def evaluate_points(
     through the MXU-fused bucketed interpolation kernel (IFNet.query_fused)
     instead of XLA gathers; bf16 compute, inference-grade (~1e-2 relative
     logit tolerance — opt out with use_pallas=False for exact f32 gathers).
-    bands opts the fused path into 2-D (slab, band) bucketing — ~2x fewer
-    issued matmul FLOPs at full dims (ARCHITECTURE.md §9).  bands="auto"
-    picks the band count minimizing the static issued-FLOP model for this
-    grid and query count (ops/pallas/cost.py choose_bands; e.g. at 262k
-    queries: 8 at full IF-Net-128 dims, 4 at half scale).
+    bands opts the fused path into 2-D (slab, band) bucketing — fewer issued
+    matmul FLOPs at full dims, hardware-confirmed faster (BENCH_r03: 3.15M
+    vs 2.64M pts/s at 262k full-dims queries; ARCHITECTURE.md §9).  The
+    DEFAULT is "auto": pick the band count minimizing the static issued-FLOP
+    model for this grid and query count (ops/pallas/cost.py choose_bands;
+    e.g. at 262k queries: 8 at full IF-Net-128 dims, 4 at half scale).  Pass
+    bands=None for the 1-D slab path (also the only differentiable one —
+    inference-only here, so the banded default is safe).
 
     With a mesh the point axis is sharded over ALL its devices (dp and sp
     flattened) and the fused kernel runs per-shard under shard_map."""

@@ -29,10 +29,18 @@ _GEOM_ABI = 2
 
 
 def _make(force: bool = False):
-    subprocess.run(
-        ["make", "-C", str(_DIR)] + (["-B"] if force else []),
-        check=True, capture_output=True,
-    )
+    try:
+        subprocess.run(
+            ["make", "-C", str(_DIR)] + (["-B"] if force else []),
+            check=True, capture_output=True,
+        )
+    except subprocess.CalledProcessError as e:
+        # surface the compiler diagnostics — a bare CalledProcessError makes
+        # (forced ABI-mismatch) rebuild failures opaque
+        raise RuntimeError(
+            f"native library build failed (exit {e.returncode}):\n"
+            f"{e.stderr.decode(errors='replace')}"
+        ) from e
 
 
 def _ensure_built():

@@ -239,6 +239,10 @@ def _band_windows(
     col_lo = np.maximum((lo_need.astype(np.int64) // 8) * 8, 0)
     wcols = int(min(g1p, -(-int((hi_need - col_lo).max()) // 8) * 8))
     col_lo = np.clip(col_lo, 0, max(g1p - wcols, 0)).astype(np.int32)
+    # the kernel reconstructs the window start as <prefetched col_lo // 8>*8
+    # (_level_features_banded_impl), so a non-8-aligned start would silently
+    # shift the DMA window and corrupt features — fail loudly instead
+    assert (col_lo % 8 == 0).all(), (dims, band_cols, col_lo)
     # static coverage check: every band's window spans its in-volume support
     assert wcols == g1p or (
         (col_lo <= np.maximum(lo_need, 0)).all()

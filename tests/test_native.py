@@ -108,16 +108,19 @@ def test_abi_handshake_detects_stale_library(tmp_path):
     rejected so the loader rebuilds it — the pure mtime check misses stale
     binaries whose timestamps a git checkout refreshed."""
     import ctypes
+    import os
     import subprocess
 
     from sv3d_tpu import native
 
     assert native._abi_ok(native._lib)
 
+    cxx = os.environ.get("CXX", "g++")  # same compiler the Makefile honors
+
     src = tmp_path / "old.cpp"
     src.write_text('extern "C" int unrelated_symbol() { return 0; }\n')
     subprocess.run(
-        ["g++", "-O0", "-fPIC", "-shared", "-o", str(tmp_path / "old.so"), str(src)],
+        [cxx, "-O0", "-fPIC", "-shared", "-o", str(tmp_path / "old.so"), str(src)],
         check=True,
     )
     assert not native._abi_ok(ctypes.CDLL(str(tmp_path / "old.so")))
@@ -125,7 +128,7 @@ def test_abi_handshake_detects_stale_library(tmp_path):
     src2 = tmp_path / "wrong.cpp"
     src2.write_text('extern "C" long geom_abi_version() { return -1; }\n')
     subprocess.run(
-        ["g++", "-O0", "-fPIC", "-shared", "-o", str(tmp_path / "wrong.so"), str(src2)],
+        [cxx, "-O0", "-fPIC", "-shared", "-o", str(tmp_path / "wrong.so"), str(src2)],
         check=True,
     )
     assert not native._abi_ok(ctypes.CDLL(str(tmp_path / "wrong.so")))
