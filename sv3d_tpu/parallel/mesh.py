@@ -81,6 +81,27 @@ def shard_batch(batch: dict, mesh: Mesh, point_keys=POINT_KEYS) -> dict:
     return out
 
 
+def local_batch_rows(arr: jax.Array, mesh: Mesh) -> np.ndarray:
+    """THIS process's rows (leading batch axis) of a global array, as numpy,
+    in global-index order — the inverse of the shard_batch assembly for the
+    loader's per-process batch slice, enabling host-side per-process work
+    (e.g. occupancy labeling) on globally sharded data without cross-host
+    transfers.
+
+    The array is first resharded to batch-only sharding (every row whole on
+    one device) so addressable shards are whole rows; a (dp, sp)-sharded
+    input would otherwise yield row FRAGMENTS.  Row order matches the local
+    DataLoader order because make_array_from_process_local_data packs local
+    rows into the process's addressable shards in global-index order."""
+    arr = jax.jit(lambda x: x, out_shardings=batch_sharding(mesh))(arr)
+    parts = {}
+    for s in arr.addressable_shards:  # dedupe sp-replicated row copies
+        start = s.index[0].start or 0
+        if start not in parts:
+            parts[start] = np.asarray(s.data)
+    return np.concatenate([parts[k] for k in sorted(parts)], axis=0)
+
+
 def replicate_tree(tree, mesh: Mesh):
     """Replicate a pytree (params / train state) over the whole mesh.  In
     multi-host mode every process holds identical host-side values (same seed

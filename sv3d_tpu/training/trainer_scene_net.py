@@ -249,18 +249,33 @@ class SceneNetTrainer(BaseTrainer):
         host round-trip (C++ triangle-hash waterproofing); under a mesh the
         result is explicitly RE-SHARDED over (dp, sp) before re-entering the
         jitted step — otherwise the extra loss input would arrive replicated
-        and GSPMD would gather the whole point axis back onto every device."""
+        and GSPMD would gather the whole point axis back onto every device.
+
+        Multi-host: the projection step runs globally (SPMD), then each
+        process reads back ONLY its own batch rows (local_batch_rows — no
+        cross-host transfer), labels them against its local mesh paths
+        (batch["mesh"] passes through shard_batch as the process-local
+        list), and the global occupancy array is reassembled with
+        make_array_from_process_local_data."""
         from sv3d_tpu.preprocessing.occupancies import determine_occupancy
 
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "subsample_points > 0 labels projected clouds on the host, "
-                "which requires the full batch locally; in multi-host runs "
-                "precompute occupancies instead (subsample_points=0)"
-            )
-        pc = np.asarray(
-            self._project_step(state, batch["rgb"], batch["depthmap_target"], rng_key)
+        pc_global = self._project_step(
+            state, batch["rgb"], batch["depthmap_target"], rng_key
         )
+        if jax.process_count() > 1:
+            from sv3d_tpu.parallel.mesh import local_batch_rows, point_sharding
+
+            pc = local_batch_rows(pc_global, self.mesh)
+            occ_local = local_batch_rows(batch["occupancies"], self.mesh)
+            assert pc.shape[0] == len(batch["mesh"]) == occ_local.shape[0], (
+                pc.shape, len(batch["mesh"]), occ_local.shape,
+            )
+            _, occ_pc = determine_occupancy(batch["mesh"], pc, dims=self.config.dims)
+            occ = np.concatenate([occ_pc.astype(np.float32), occ_local], axis=1)
+            return jax.make_array_from_process_local_data(
+                point_sharding(self.mesh), occ
+            )
+        pc = np.asarray(pc_global)
         _, occ_pc = determine_occupancy(batch["mesh"], pc, dims=self.config.dims)
         occ = np.concatenate(
             [occ_pc.astype(np.float32), np.asarray(batch["occupancies"])], axis=1

@@ -27,6 +27,11 @@ def main():
     p.add_argument("--fixture", required=True)
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--dp", type=int, default=2)
+    p.add_argument("--subsample", type=int, default=0,
+                   help="subsample_points: projected-cloud host labeling "
+                   "mid-step — each process labels its LOCAL batch rows "
+                   "(local_batch_rows) and the global occupancies are "
+                   "reassembled from process-local data")
     p.add_argument(
         "--cycle_restore_dir",
         default=None,
@@ -98,6 +103,7 @@ def main():
         experiment="test_multihost",
         dp=args.dp,
         sp=1,
+        subsample_points=args.subsample,
     )
     trainer = SceneNetTrainer(cfg, experiment_dir=Path(args.exp_dir))
 

