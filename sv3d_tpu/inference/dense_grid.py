@@ -276,15 +276,19 @@ def implicit_to_mesh(
     res_increase: int = 1,
     slab_rows: int = 4,
     mesh=None,
-    transfer_dtype=jnp.float16,
+    transfer_dtype=jnp.uint8,
 ):
     """Dense evaluation -> marching cubes on (1 - occupancy) at level
     threshold_p -> OBJ (reference model/ifnet.py:232-234).
 
     This is the latency-sensitive serving path, so the device->host pull of
-    the value grid defaults to float16 (quantizes the sigmoid field by
-    ~5e-4 -> marching-cubes vertex shifts <1e-3 voxel at the 0.5 level —
-    see evaluate_on_grid); pass transfer_dtype=jnp.float32 for exact."""
+    the value grid defaults to uint8 fixed-point: the A/B on the tunneled
+    v5e chip (scripts/measure_step.py --set serving, 2026-08-19) measured
+    the r_inc=2 sweep+pull at 1567 ms (f32) / 1372 ms (f16) / 564 ms (u8) —
+    the pull dominates, and quartering the bytes wins 2.8x.  u8 quantizes
+    the sigmoid field by <=2e-3 -> marching-cubes vertex shifts <0.01 voxel
+    at the 0.5 level (see evaluate_on_grid); pass transfer_dtype=jnp.float32
+    for exact (the contract metric evals use)."""
     value_grid = evaluate_on_grid(
         model, variables, grid, resolution, res_increase, slab_rows, mesh,
         transfer_dtype=transfer_dtype,
