@@ -170,16 +170,20 @@ def bench_arbitrary_points():
         dev_times.append(time.perf_counter() - t0 - rt)
     dev_pps = n / min(dev_times)
 
-    # --- 2-D bucketed (slab x band) variant: ~1.8x fewer issued FLOPs
-    # (ARCHITECTURE.md §9); guarded — falls back to 0.0 if the banded
-    # kernel fails to compile on this backend ---
+    # --- 2-D bucketed (slab x band) variant at the time-model-chosen band
+    # count (the evaluate_points bands="auto" default; ARCHITECTURE.md §9);
+    # guarded — falls back to 0.0 if the banded kernel fails to compile ---
     banded_pps = 0.0
     if use_pallas:
         try:
+            from sv3d_tpu.ops.pallas.cost import choose_bands
+
+            bsel = choose_bands(IFNetConfig.for_net_res(128), DIMS, n=n) or 8
+            print(f"# banded bench: bands={bsel}", file=sys.stderr)
             query_b = jax.jit(
                 lambda v, lv, p: jax.nn.sigmoid(
                     model.apply(
-                        v, lv, p, mesh="local", bands=8,
+                        v, lv, p, mesh="local", bands=bsel,
                         method=IFNet.query_fused,
                     )
                 )

@@ -98,7 +98,7 @@ def _query_fused_impl(
         bucket_queries,
         bucket_queries_2d,
         default_interpret,
-        level_features_banded,
+        level_fc0_banded,
     )
     from sv3d_tpu.ops.pallas.point_query_bwd import level_features_diff
 
@@ -110,51 +110,58 @@ def _query_fused_impl(
     p0, p1, p2 = (2.0 * points[..., i] for i in range(3))
     g0_fine = levels.dims[0][0]
     g1_fine = levels.dims[0][1]
+    # fc0 as per-level partial contractions: the concatenated feature tensor
+    # (B, P, 7*sumC) is never materialized — at 262k queries it was ~2.7 GB
+    # of f32 HBM traffic for the write, the concat copy, and the bf16 cast,
+    # all of which the profile showed dominating the non-kernel time.  w0's
+    # columns are displacement-major (d*sumC + c_global); each level's
+    # (H, 7*C_l) block is sliced in the kernel's
+    # displacement-major-within-level order (banded path: the block is
+    # passed INTO the kernel, which emits the (B, P, H) fc0 partial and the
+    # features never touch HBM at all).
+    chans = cfg.feature_channels
+    sum_c = sum(chans)
+    w0 = kernels[0]
+
+    def w0_level(li, c):
+        cg = sum(chans[:li])
+        cols = np.asarray(
+            [d * sum_c + cg + cc for d in range(7) for cc in range(c)],
+            np.int32,
+        )
+        return w0[:, jnp.asarray(cols)].astype(jnp.bfloat16)
+
+    h = biases[0][None, None, :].astype(jnp.float32)
     if bands:
         q0, q1, q2, pos, tile_slab, tile_band, tile_used = bucket_queries_2d(
             p0, p1, p2, g0_fine, g1_fine, cfg.align_corners, bands, tile=tile
         )
+        for li, ((flat, dims), c) in enumerate(
+            zip(levels, cfg.feature_channels)
+        ):
+            vol = jnp.moveaxis(flat.reshape(b, c, *dims), 1, -1)
+            h = h + level_fc0_banded(
+                vol, w0_level(li, c).T, q0, q1, q2, tile_slab, tile_band,
+                tile_used, dims, g0_fine, g1_fine, cfg.align_corners,
+                cfg.displacement, bands, tile, interpret,
+            ).astype(jnp.float32)
     else:
         q0, q1, q2, pos, tile_slab, tile_used = bucket_queries(
             p0, p1, p2, g0_fine, cfg.align_corners, tile=tile
         )
-
-    feats = []
-    for (flat, dims), c in zip(levels, cfg.feature_channels):
-        vol = jnp.moveaxis(flat.reshape(b, c, *dims), 1, -1)
-        if bands:
-            feats.append(
-                level_features_banded(
-                    vol, q0, q1, q2, tile_slab, tile_band, tile_used, dims,
-                    g0_fine, g1_fine, cfg.align_corners, cfg.displacement,
-                    bands, tile, interpret,
-                )
-            )
-            continue
-        feats.append(
-            level_features_diff(
+        for li, ((flat, dims), c) in enumerate(
+            zip(levels, cfg.feature_channels)
+        ):
+            vol = jnp.moveaxis(flat.reshape(b, c, *dims), 1, -1)
+            feat = level_features_diff(
                 vol, q0, q1, q2, tile_slab, tile_used, dims, g0_fine,
                 cfg.align_corners, cfg.displacement, tile, interpret,
             )
-        )
-    f = jnp.concatenate(feats, axis=-1)  # (B, P, sum 7*C_l), level-major
-
-    # permute fc0 columns from displacement-major (d*sumC + c_global) to
-    # the kernel's level-major order (off_l + d*C_l + c)
-    chans = cfg.feature_channels
-    sum_c = sum(chans)
-    perm = []
-    for li, c in enumerate(chans):
-        cg = sum(chans[:li])
-        for d in range(7):
-            for cc in range(c):
-                perm.append(d * sum_c + cg + cc)
-    w0 = kernels[0][:, jnp.asarray(np.asarray(perm, np.int32))]
-
-    h = jnp.einsum(
-        "hf,bpf->bph", w0.astype(jnp.bfloat16), f.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ) + biases[0][None, None, :]
+            h = h + jnp.einsum(
+                "hf,bpf->bph", w0_level(li, c),
+                feat.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
     h = nn.relu(h)
     for kernel, bias in zip(kernels[1:], biases[1:]):
         h = jnp.einsum(

@@ -120,30 +120,70 @@ def pad_amplification(cfg, full_dims, bands: int, tile: int, n: int,
 def issued_flops_per_point(cfg, full_dims, bands: int, tile: int = 128,
                            n: int = 65536) -> float:
     """Total issued MXU FLOPs per real point, pad-slot amplification
-    included (the quantity whose 1/x orders measured throughput)."""
+    included.  NOTE: hardware showed this alone does NOT order throughput —
+    the banded kernels' short contraction K wastes MXU K-tiles.  Use
+    predicted_sec_per_point for band selection; this stays as the
+    issued-work denominator for achieved-TFLOP reporting
+    (scripts/bands_sweep.py)."""
     _, mxu, _, mlp = kernel_costs(cfg, full_dims, bands)
     amp, _ = pad_amplification(cfg, full_dims, bands, tile, n)
     return (mxu + mlp) * amp
 
 
-def choose_bands(cfg, full_dims, candidates=(0, 4, 8, 16), tile: int = 128,
-                 n: int = 65536) -> int | None:
-    """Band count minimizing the issued-FLOP model for this config; returns
-    None for the 1-D slab path (bands=0 winner or degenerate axis-1).
+# --- measured-time model ----------------------------------------------------
+# The MXU contracts K in 128-deep passes, so a matmul with K = 168 issues two
+# passes but fills only 168/256 of them: effective time scales with
+# flops / ktile_efficiency(K).  Calibrated on the v5e (2026-08-19,
+# scripts/bands_sweep.py, 262k queries, full IF-Net-128 dims) the model
+# predicts the measured wall times to ~±5% and — unlike the raw issued-FLOP
+# model — reproduces the measured ordering (bands 12/16 fastest, then 8/24,
+# then 4, 1-D slowest):
+#   bands:      0      4      8     12     16     24
+#   measured: 86.4   66.0   64.5   61.3   60.9   64.4  ms
+#   model:    86.4   69.8   63.2   61.0   60.9   64.0  ms
+MXU_K_TILE = 128
+EFFECTIVE_PEAK_FLOPS = 182e12   # fitted slope ~= bf16 MXU peak minus losses
+OVERHEAD_SEC_PER_POINT = 0.9e-7  # bucketing, hidden MLP layers, DMA, writes
+
+
+def ktile_efficiency(k: int) -> float:
+    """Fraction of the MXU's K-passes a K-deep contraction actually fills."""
+    return k / (-(-k // MXU_K_TILE) * MXU_K_TILE)
+
+
+def predicted_sec_per_point(cfg, full_dims, bands: int, tile: int = 128,
+                            n: int = 65536) -> float:
+    """Predicted seconds per real query point on the calibrated v5e model:
+    K-tile-efficiency-weighted kernel flops + MLP flops, pad-amplified, at
+    the fitted effective rate, plus the fitted fixed per-point overhead.
+    Calibration constants are chip-specific; the ORDERING (what choose_bands
+    needs) is robust to rescaling either constant by ~2x."""
+    rows, _, _, mlp = kernel_costs(cfg, full_dims, bands)
+    eff_flops = sum(mx / ktile_efficiency(k) for _, k, _, mx, _ in rows)
+    amp, _ = pad_amplification(cfg, full_dims, bands, tile, n)
+    return ((eff_flops + mlp) * amp) / EFFECTIVE_PEAK_FLOPS + (
+        OVERHEAD_SEC_PER_POINT
+    )
+
+
+def choose_bands(cfg, full_dims, candidates=(0, 4, 8, 12, 16, 24, 32),
+                 tile: int = 128, n: int = 65536) -> int | None:
+    """Band count minimizing PREDICTED TIME (predicted_sec_per_point) for
+    this config; returns None for the 1-D slab path (bands=0 winner or
+    degenerate axis-1).
 
     Resolves `evaluate_points(bands="auto")`.  Pass the REAL query count as
     `n` — the optimum shifts with it (finer bucketing cuts the pencil K but
-    pads more of each 128-slot tile when points-per-bucket drops: at full
-    IF-Net-128 dims the model picks 8 bands for 262k queries but 16 for
-    65k).  The model tracks the measured hardware ordering
-    (ARCHITECTURE.md §9) but is still a model — explicit `bands=` overrides
-    it."""
+    pads more of each 128-slot tile when points-per-bucket drops).  The
+    time model is hardware-calibrated (see above) and reproduced the
+    measured ordering at 262k full-dims queries; explicit `bands=`
+    overrides it."""
     g1f = full_dims[1]
     best, best_cost = None, float("inf")
     for b in candidates:
         if b and b >= g1f:  # one band == the 1-D path, skip duplicates
             continue
-        cost = issued_flops_per_point(cfg, full_dims, b, tile, n)
+        cost = predicted_sec_per_point(cfg, full_dims, b, tile, n)
         if cost < best_cost:
             best, best_cost = b, cost
     return best if best else None

@@ -502,7 +502,7 @@ def _make_kernel_banded(dims, c: int, g2p: int, wcols: int, rows: int,
 
         @pl.when(skip)
         def _():
-            out_ref[0] = jnp.zeros_like(out_ref[0])
+            out_ref[0] = jnp.zeros_like(out_ref[0])  # bf16 zeros
 
         @pl.when(
             jnp.logical_and(
@@ -559,7 +559,7 @@ def _make_kernel_banded(dims, c: int, g2p: int, wcols: int, rows: int,
                 )  # (T, g2p)
                 out_ref[0, :, d * c : (d + 1) * c] = _fold_k(
                     pencil, dix2, kvalid, kidx, fold, c, g2, g2p, tile
-                )
+                ).astype(out_ref.dtype)
 
     return kernel
 
@@ -585,7 +585,9 @@ def level_features_banded(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """level_features over a 2-D (slab, band) bucketing from
-    bucket_queries_2d.  Identical semantics; ~2x fewer issued matmul FLOPs
+    bucket_queries_2d.  Same semantics but returns BFLOAT16 features (the
+    fc0 consumer casts to bf16 regardless, and halving the multi-GB feature
+    write/read is measured HBM-bandwidth win); ~2x fewer issued matmul FLOPs
     at full dims (K = wrows*WCOLS instead of wrows*g1p on the full-res
     levels).  INFERENCE-ONLY: differentiating it raises NotImplementedError
     (training's fused path keeps the 1-D bucketing of level_features_diff,
@@ -681,17 +683,21 @@ def _level_features_banded_impl(
             pltpu.SemaphoreType.DMA,
         ],
     )
+    # bf16 output: the consumer (fc0) casts to bf16 anyway, and at 262k
+    # queries the six levels' feature outputs total ~2.7 GB in f32 — halving
+    # the write (and the fc0 read) is pure HBM-bandwidth win on this
+    # inference-only path (training's 1-D kernel keeps f32 for its VJP).
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, p, 7 * c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, p, 7 * c), jnp.bfloat16),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * p * 7 * (wrows * wcols + g2c) * max(c, 1),
-            bytes_accessed=b * nt * rows * wcols * g2p * 2 + b * p * 7 * c * 4,
+            bytes_accessed=b * nt * rows * wcols * g2p * 2 + b * p * 7 * c * 2,
             transcendentals=0,
         ),
     )(
@@ -704,6 +710,262 @@ def _level_features_banded_impl(
         q1[..., None],
         q2[..., None],
         fold,
+    )
+    return out
+
+
+def _make_kernel_banded_fc0(dims, c: int, g2p: int, wcols: int, rows: int,
+                            wrows: int, align_corners: bool,
+                            displacement: float, tile: int, h_dim: int):
+    """Banded kernel body with the level's fc0 partial product FUSED: instead
+    of writing (T, 7*C) interpolated features to HBM (to be concatenated and
+    contracted by XLA), the 7 displacement features accumulate into a VMEM
+    scratch and one (T, 7C) x (7C, H) matmul per tile emits this level's
+    fc0 partial (T, H) directly.  At 262k queries this deletes ~1.35 GB of
+    bf16 feature write+read plus the per-level XLA einsums (~7.5 ms
+    profiled), while the fc0 matmul itself lands on MXU time the kernel was
+    stalling through anyway (K = 7C is tile-friendly: 112/224/448/896)."""
+    g0, g1, g2 = (int(d) for d in dims)
+    a0, b0 = _ix_affine(g0, align_corners)
+    a1, b1 = _ix_affine(g1, align_corners)
+    a2, b2 = _ix_affine(g2, align_corners)
+    dsh = (displacement * a0, displacement * a1, displacement * a2)
+
+    def kernel(base_ref, woff_ref, cbase_ref, used_ref, vol_ref, q0_ref,
+               q1_ref, q2_ref, fold_ref, w0_ref, out_ref, tab_ref, feat_ref,
+               state_ref, sem):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        base = base_ref[bi, ti]
+        cbase = cbase_ref[bi, ti] * 8  # see _make_kernel_banded
+
+        @pl.when(jnp.logical_and(ti == 0, bi == 0))
+        def _():
+            state_ref[0] = -1
+            state_ref[1] = -1
+            state_ref[2] = -1
+
+        skip = used_ref[bi, ti] == 0
+
+        @pl.when(skip)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        @pl.when(
+            jnp.logical_and(
+                jnp.logical_not(skip),
+                (state_ref[0] != base)
+                | (state_ref[1] != cbase)
+                | (state_ref[2] != bi),
+            )
+        )
+        def _():
+            dma = pltpu.make_async_copy(
+                vol_ref.at[bi, pl.ds(base, rows), pl.ds(cbase, wcols)],
+                tab_ref, sem,
+            )
+            dma.start()
+            dma.wait()
+            state_ref[0] = base
+            state_ref[1] = cbase
+            state_ref[2] = bi
+
+        p0 = q0_ref[0]  # (T, 1)
+        p1 = q1_ref[0]
+        p2 = q2_ref[0]
+        ix0 = a0 * p0 + b0
+        ix1 = a1 * p1 + b1
+        ix2 = a2 * p2 + b2
+
+        ab = jax.lax.broadcasted_iota(jnp.int32, (tile, wrows * wcols), 1)
+        arow = (ab // wcols).astype(jnp.float32)
+        bcol = (ab % wcols).astype(jnp.float32)
+        cols_abs = cbase.astype(jnp.float32) + bcol
+        kidx = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile, g2p), 1) // c
+        ).astype(jnp.float32)
+        kvalid = kidx < float(g2)
+
+        fold = fold_ref[:, :]
+
+        @pl.when(jnp.logical_not(skip))
+        def _compute():
+            for d, (s0, s1, s2) in enumerate(DISPLACEMENTS):
+                woff = woff_ref[bi, s0 + 1, ti]
+                dix0 = ix0 + s0 * dsh[0]
+                dix1 = ix1 + s1 * dsh[1]
+                dix2 = ix2 + s2 * dsh[2]
+                rows_abs = (base + woff).astype(jnp.float32) + arow
+                w = _hat(dix0, rows_abs) * _hat(dix1, cols_abs)
+                tab = tab_ref[pl.ds(woff, wrows)]  # (wrows, wcols, g2p)
+                pencil = jax.lax.dot_general(
+                    w.astype(jnp.bfloat16),
+                    tab.reshape(wrows * wcols, g2p),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (T, g2p)
+                feat_ref[:, d * c : (d + 1) * c] = _fold_k(
+                    pencil, dix2, kvalid, kidx, fold, c, g2, g2p, tile
+                ).astype(jnp.bfloat16)
+            out_ref[0] = jax.lax.dot_general(
+                feat_ref[:, :],
+                w0_ref[:, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)  # (T, H) fc0 partial
+
+    return kernel
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15)
+)
+def level_fc0_banded(
+    vol: jnp.ndarray,
+    w0l: jnp.ndarray,
+    q0: jnp.ndarray,
+    q1: jnp.ndarray,
+    q2: jnp.ndarray,
+    tile_slab: jnp.ndarray,
+    tile_band: jnp.ndarray,
+    tile_used: jnp.ndarray,
+    dims: tuple,
+    g0_fine: int,
+    g1_fine: int,
+    align_corners: bool,
+    displacement: float,
+    band_cols: int,
+    tile: int = TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """level_features_banded with the level's fc0 partial fused in-kernel.
+
+    w0l: (7*C, H) bf16 fc0 weight block for this level, rows ordered
+    displacement-major-within-level (d*C + c).  Returns the (B, P, H)
+    bfloat16 partial product sum_f feat[..., f] * w0l[f, :] — the caller
+    sums level partials and adds the fc0 bias.  INFERENCE-ONLY (no VJP),
+    like level_features_banded."""
+    return _level_fc0_banded_impl(
+        vol, w0l, q0, q1, q2, tile_slab, tile_band, tile_used, dims, g0_fine,
+        g1_fine, align_corners, displacement, band_cols, tile, interpret,
+    )
+
+
+def _lf0_fwd(vol, w0l, q0, q1, q2, tile_slab, tile_band, tile_used, dims,
+             g0_fine, g1_fine, align_corners, displacement, band_cols, tile,
+             interpret):
+    out = _level_fc0_banded_impl(
+        vol, w0l, q0, q1, q2, tile_slab, tile_band, tile_used, dims, g0_fine,
+        g1_fine, align_corners, displacement, band_cols, tile, interpret,
+    )
+    return out, None
+
+
+def _lf0_bwd(dims, g0_fine, g1_fine, align_corners, displacement, band_cols,
+             tile, interpret, residuals, cotangent):
+    raise NotImplementedError(
+        "level_fc0_banded (the fc0-fused banded point-query kernel) is "
+        "INFERENCE-ONLY: it has no backward kernel.  For training/gradients "
+        "use the 1-D bucketed path (bands=None), which routes through "
+        "level_features_diff and its custom VJP."
+    )
+
+
+level_fc0_banded.defvjp(_lf0_fwd, _lf0_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "align_corners", "displacement", "g0_fine",
+                     "g1_fine", "band_cols", "tile", "interpret"),
+)
+def _level_fc0_banded_impl(
+    vol, w0l, q0, q1, q2, tile_slab, tile_band, tile_used, dims, g0_fine: int,
+    g1_fine: int, align_corners: bool, displacement: float, band_cols: int,
+    tile: int = TILE, interpret: bool = False,
+) -> jnp.ndarray:
+    b, g0, g1, g2, c = vol.shape
+    p = q0.shape[1]
+    nt = p // tile
+    g2c = g2 * c
+    g2p = -(-g2c // 128) * 128
+    g1p = -(-g1 // 8) * 8
+    assert w0l.shape[0] == 7 * c, (w0l.shape, c)
+    h_dim = w0l.shape[1]
+
+    tab_lo, woff_np, rows, wrows = _level_windows(
+        g0_fine, dims, align_corners, displacement
+    )
+    col_lo, wcols = _band_windows(
+        g1_fine, dims, align_corners, displacement, band_cols
+    )
+    tile_base = jnp.asarray(tab_lo)[tile_slab]
+    tile_woff = jnp.moveaxis(jnp.asarray(woff_np)[tile_slab], -1, 1)
+    tile_cbase = jnp.asarray(col_lo // 8)[tile_band]
+
+    volp = vol.astype(jnp.bfloat16).reshape(b, g0, g1, g2c)
+    if g2p != g2c or g1p != g1:
+        volp = jnp.pad(
+            volp, ((0, 0), (0, 0), (0, g1p - g1), (0, g2p - g2c))
+        )
+    fold = jnp.asarray(
+        np.tile(np.eye(c, dtype=np.float32), (g2, 1)), jnp.bfloat16
+    )
+    fold = jnp.pad(fold, ((0, g2p - g2c), (0, 0)))
+
+    kernel = _make_kernel_banded_fc0(
+        dims, c, g2p, wcols, rows, wrows, align_corners, displacement, tile,
+        h_dim,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # tile_base, tile_woff, tile_cbase, tile_used
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # volume (DMA'd manually)
+            pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bi, ti, *_: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fold matrix
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w0 level block
+        ],
+        out_specs=pl.BlockSpec((1, tile, h_dim), lambda bi, ti, *_: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, wcols, g2p), jnp.bfloat16),
+            pltpu.VMEM((tile, 7 * c), jnp.bfloat16),
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, p, h_dim), jnp.bfloat16),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p * (7 * (wrows * wcols + g2c) * max(c, 1)
+                               + 7 * c * h_dim),
+            bytes_accessed=b * nt * rows * wcols * g2p * 2
+            + b * p * h_dim * 2,
+            transcendentals=0,
+        ),
+    )(
+        tile_base,
+        tile_woff,
+        tile_cbase,
+        tile_used,
+        volp,
+        q0[..., None],
+        q1[..., None],
+        q2[..., None],
+        fold,
+        w0l.astype(jnp.bfloat16),
     )
     return out
 

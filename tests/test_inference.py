@@ -92,26 +92,42 @@ def test_evaluate_points_banded_fused_matches_gathers(small_model):
     np.testing.assert_allclose(auto, exact, rtol=5e-2, atol=1e-2)
 
 
-def test_choose_bands_tracks_flop_model():
-    """The packaged cost model picks the documented optima (ARCHITECTURE §9)
-    and degrades to the 1-D path on tiny grids / non-pallas callers."""
+def test_choose_bands_tracks_time_model():
+    """The packaged cost model picks the hardware-measured optima
+    (ARCHITECTURE §9: measured 60.9 ms at bands=16 vs 86.4 ms 1-D at 262k
+    full-dims queries) and degrades to the 1-D path on tiny grids /
+    tiny query counts."""
     from sv3d_tpu.config import Config
-    from sv3d_tpu.ops.pallas.cost import choose_bands, issued_flops_per_point
+    from sv3d_tpu.ops.pallas.cost import (
+        choose_bands,
+        issued_flops_per_point,
+        predicted_sec_per_point,
+    )
 
     top = Config(net_res=128, scale_factor=1)
     cfg, dims = top.ifnet(), tuple(top.dims)
-    assert choose_bands(cfg, dims, n=262144) == 8
+    assert choose_bands(cfg, dims, n=262144) == 16
     # the pick actually minimizes the model it claims to minimize
-    costs = {
-        b: issued_flops_per_point(cfg, dims, b, n=262144) for b in (0, 4, 8, 16)
+    times = {
+        b: predicted_sec_per_point(cfg, dims, b, n=262144)
+        for b in (0, 4, 8, 12, 16, 24, 32)
     }
-    assert min(costs, key=costs.get) == 8
-    # banded cuts the 1-D issued work by >2x at full dims
-    assert costs[0] / costs[8] > 2.0
-    # fewer queries -> coarser bucketing wins (pad amortization)
-    assert choose_bands(cfg, dims, n=65536) == 16
+    assert min(times, key=times.get) == 16
+    # the time model reproduces the measured hardware ordering
+    # (bands_sweep 2026-08-19: 16 < 12 < 8 < 24 < 4 < 1-D), which the raw
+    # issued-FLOP model got wrong (it ranks 8 below 16)
+    assert times[16] < times[12] < times[8] < times[24] < times[4] < times[0]
+    # banded still cuts the 1-D ISSUED work by >2x at full dims
+    flops = {
+        b: issued_flops_per_point(cfg, dims, b, n=262144) for b in (0, 8)
+    }
+    assert flops[0] / flops[8] > 2.0
+    # fewer queries -> pad amortization shifts the optimum
+    assert choose_bands(cfg, dims, n=65536) == 12
     half = Config(net_res=128, scale_factor=2)
     assert choose_bands(half.ifnet(), tuple(half.dims), n=262144) == 4
+    # tiny query counts: the fixed overhead dominates, 1-D wins
+    assert choose_bands(cfg, dims, n=4096) is None
     tiny = Config(net_res=128, scale_factor=8)
     assert choose_bands(tiny.ifnet(), tuple(tiny.dims), n=262144) is None
 
