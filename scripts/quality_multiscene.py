@@ -95,6 +95,12 @@ def main():
     p.add_argument("--fused_query", action="store_true")
     p.add_argument("--precision", type=int, default=32)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--val_every", type=int, default=None,
+                   help="steps between val passes / checkpoint scoring "
+                   "(default steps//4).  The eval stage scores the BEST-val "
+                   "checkpoint, so a finer interval finds the val minimum "
+                   "more precisely when the occupancy head overfits early "
+                   "(observed r4: val_ce 0.49 at step 1000 -> 1.48 at 4000)")
     p.add_argument("--stage", choices=["all", "data", "train", "eval"], default="all")
     p.add_argument("--resume_last", action="store_true",
                    help="continue the train stage from <exp>/checkpoints/last "
@@ -146,7 +152,7 @@ def main():
         net_res=args.net_res,
         lr=args.lr,
         experiment="quality_multiscene",
-        val_check_interval=max(args.steps // 4, 1),
+        val_check_interval=max(args.val_every or args.steps // 4, 1),
         val_check_percent=1.0,
     )
     exp_dir = Path(args.exp)
