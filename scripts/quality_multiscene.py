@@ -43,16 +43,22 @@ SPLITS = ("train", "val", "test")
 
 
 def build_data(root: Path, counts: dict, scale: int, num_samples: int, seed: int,
-               num_workers: int):
+               num_workers: int, append_train: int = 0):
     """Generate scenes + preprocess + write split files.  Scene ids are
     globally unique across splits (train gets 000.., val/test follow), so one
-    raw/processed tree serves all three split files."""
+    raw/processed tree serves all three split files.
+
+    append_train: extra TRAIN scenes generated AFTER the test block, so the
+    val/test scene indices (and, since make_synthetic_scenes seeds each scene
+    as SeedSequence([seed, i]), the exact scene geometry) are unchanged from a
+    smaller tree with the same counts — a bigger train set stays
+    apples-to-apples against an earlier artifact's held-out scenes."""
     from make_synthetic_scenes import generate
 
     from sv3d_tpu.data.splits import write_split
     from sv3d_tpu.preprocessing.process_sample import process_sample_pipeline
 
-    total = sum(counts.values())
+    total = sum(counts.values()) + append_train
     names = generate(root, total, bad_scenes=0, seed=seed, splitsdir="synth")
     assert len(names) == total
 
@@ -65,9 +71,13 @@ def build_data(root: Path, counts: dict, scale: int, num_samples: int, seed: int
     assert len(processed) == total
 
     off = 0
+    members = {}
     for split in SPLITS:
-        write_split(root, "synth", split, names[off : off + counts[split]])
+        members[split] = names[off : off + counts[split]]
         off += counts[split]
+    members["train"] = members["train"] + names[off:]
+    for split in SPLITS:
+        write_split(root, "synth", split, members[split])
     return names
 
 
@@ -75,6 +85,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", default=".synth_quality")
     p.add_argument("--n_train", type=int, default=32)
+    p.add_argument("--append_train", type=int, default=0,
+                   help="extra train scenes generated AFTER the test block: "
+                   "val/test keep the scene indices (and geometry — scene i "
+                   "is seeded independently of the total) they'd have "
+                   "without it, so a larger-train run scores the SAME "
+                   "held-out scenes as a smaller one")
     p.add_argument("--n_val", type=int, default=8)
     p.add_argument("--n_test", type=int, default=8)
     p.add_argument("--scale_factor", type=int, default=1)
@@ -121,9 +137,9 @@ def main():
     if args.stage in ("all", "data"):
         t0 = time.time()
         build_data(root, counts, args.scale_factor, args.num_samples,
-                   args.seed, args.data_workers)
-        print(f"data: {sum(counts.values())} scenes generated+processed "
-              f"in {time.time() - t0:.1f}s", flush=True)
+                   args.seed, args.data_workers, args.append_train)
+        print(f"data: {sum(counts.values()) + args.append_train} scenes "
+              f"generated+processed in {time.time() - t0:.1f}s", flush=True)
         if args.stage == "data":
             return
 
@@ -162,7 +178,8 @@ def main():
         cfg = dataclasses.replace(cfg, resume=str(exp_dir / "checkpoints" / "last"))
         print(f"resuming from {cfg.resume}", flush=True)
     trainer = SceneNetTrainer(cfg, experiment_dir=exp_dir)
-    assert len(trainer.train_dataset()) == args.n_train
+    n_train = args.n_train + args.append_train
+    assert len(trainer.train_dataset()) == n_train
     assert len(trainer.val_dataset()) == args.n_val
 
     stats_path = exp_dir / "train_stats.json"
@@ -262,7 +279,7 @@ def main():
             else "viability_gt_depth_generalization"
         ),
         "dataset": "synthetic box rooms (scripts/make_synthetic_scenes.py)",
-        "n_train": args.n_train, "n_val": args.n_val, "n_test": args.n_test,
+        "n_train": n_train, "n_val": args.n_val, "n_test": args.n_test,
         "scale_factor": args.scale_factor, "net_res": args.net_res,
         "steps": args.steps, "batch_size": args.batch_size,
         "train_seconds": round(train_s, 1) if train_s is not None else None,

@@ -54,6 +54,36 @@ def _check_artifact(out_path: Path, n_test: int, expected_ckpt=None):
     return art
 
 
+def test_append_train_keeps_heldout_scenes_identical(tmp_path):
+    """--append_train N grows ONLY the train split; val/test keep the same
+    scene ids AND byte-identical raw/processed content (scene i is seeded as
+    SeedSequence([seed, i]), independent of the total scene count), so a
+    larger-train artifact scores the same held-out scenes as a smaller one."""
+    data_args = [
+        "--stage", "data", "--n_train", "2", "--n_val", "1", "--n_test", "1",
+        "--scale_factor", "8", "--num_samples", "400", "--data_workers", "0",
+    ]
+    base, grown = tmp_path / "base", tmp_path / "grown"
+    _run(["--root", str(base), *data_args])
+    _run(["--root", str(grown), *data_args, "--append_train", "2"])
+
+    def split(root, name):
+        return (root / "splits" / "synth" / name).read_text().split()
+
+    assert split(grown, "train.txt") == ["000/00000", "001/00000",
+                                         "004/00000", "005/00000"]
+    assert split(grown, "val.txt") == split(base, "val.txt") == ["002/00000"]
+    assert split(grown, "test.txt") == split(base, "test.txt") == ["003/00000"]
+    for scene in ("002", "003"):
+        for kind in ("raw", "processed"):
+            b, g = base / kind / "synth" / scene, grown / kind / "synth" / scene
+            files = sorted(p.relative_to(b) for p in b.rglob("*") if p.is_file())
+            assert files == sorted(
+                p.relative_to(g) for p in g.rglob("*") if p.is_file())
+            for rel in files:
+                assert (b / rel).read_bytes() == (g / rel).read_bytes(), rel
+
+
 def test_quality_multiscene_stages_end_to_end(tmp_path):
     root = tmp_path / "tree"
     exp = tmp_path / "runs"
