@@ -117,6 +117,17 @@ def main():
                    "checkpoint, so a finer interval finds the val minimum "
                    "more precisely when the occupancy head overfits early "
                    "(observed r4: val_ce 0.49 at step 1000 -> 1.48 at 4000)")
+    p.add_argument("--monitor", default="val_point_iou",
+                   help="checkpoint-ranking metric.  Default val_point_iou "
+                   "(mode auto: max for *_iou): val CE — the reference's "
+                   "monitor — is minimized by a constant base-rate predictor "
+                   "early in training, which meshes to garbage (measured "
+                   "held-out IoU 0.006 from the best-val-CE checkpoint vs "
+                   "0.24+ from a later one); point IoU is 0 there.  Pass "
+                   "val_ce_loss for strict reference parity.")
+    p.add_argument("--ckpt", default=None,
+                   help="eval stage only: evaluate THIS checkpoint dir "
+                   "instead of the manifest's best-val entry")
     p.add_argument("--stage", choices=["all", "data", "train", "eval"], default="all")
     p.add_argument("--resume_last", action="store_true",
                    help="continue the train stage from <exp>/checkpoints/last "
@@ -170,6 +181,8 @@ def main():
         experiment="quality_multiscene",
         val_check_interval=max(args.val_every or args.steps // 4, 1),
         val_check_percent=1.0,
+        monitor=args.monitor,
+        monitor_mode="max" if args.monitor.endswith("_iou") else "min",
     )
     exp_dir = Path(args.exp)
     if args.resume_last and (exp_dir / "checkpoints" / "last").exists():
@@ -203,7 +216,10 @@ def main():
         ckpt_dir = exp_dir / "checkpoints"
         ckpt = ckpt_dir / "last"
         manifest = ckpt_dir / "manifest.json"
-        if manifest.exists():
+        if args.ckpt:
+            ckpt = Path(args.ckpt)
+            print(f"evaluating explicitly requested checkpoint {ckpt}", flush=True)
+        elif manifest.exists():
             scores = json.loads(manifest.read_text())["scores"]
             if scores:
                 ckpt = Path(scores[0][1])
@@ -284,6 +300,7 @@ def main():
         "steps": args.steps, "batch_size": args.batch_size,
         "train_seconds": round(train_s, 1) if train_s is not None else None,
         "eval_checkpoint": eval_ckpt,
+        "monitor": args.monitor,
         "iou": round(float(np.mean([s["iou"] for s in per_scene])), 4),
         "chamfer_l2": (
             round(float(np.mean(chams)), 6)

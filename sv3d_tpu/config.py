@@ -132,6 +132,15 @@ class Config:
     sanity_steps: int = 2
     val_check_percent: float = 0.5
     val_check_interval: float = 0.25
+    #: checkpoint-ranking metric override; "" keeps the trainer's default
+    #: (scene trainer: val_ce_loss, matching the reference's ModelCheckpoint
+    #: monitor, trainer_scene_net.py:217).  "val_point_iou" (monitor_mode
+    #: "max") is the robust choice for generalization runs: val CE is
+    #: minimized by a constant base-rate predictor early in training, which
+    #: meshes to garbage — point IoU is 0 there.
+    monitor: str = ""
+    #: "min" | "max" | "" (trainer default) — ranking direction for `monitor`
+    monitor_mode: str = ""
     resume: str | None = None
     pretrain_unet: str | None = None
     test: str | None = None

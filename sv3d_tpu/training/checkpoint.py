@@ -34,6 +34,7 @@ class CheckpointManager:
         keep_last: bool = True,
         enabled: bool = True,
         primary: bool = True,
+        mode: str = "min",
     ):
         """enabled=False makes save() a fully inert no-op.
 
@@ -50,6 +51,11 @@ class CheckpointManager:
             self.directory.mkdir(parents=True, exist_ok=True)
         self.top_k = top_k
         self.keep_last = keep_last
+        # mode="min" ranks lower-is-better metrics (losses); "max" ranks
+        # higher-is-better ones (e.g. val_point_iou).  The manifest's scores
+        # list is always written best-first, so readers never need the mode.
+        assert mode in ("min", "max"), mode
+        self.mode = mode
         self._ckpt = ocp.PyTreeCheckpointer()
         self._scores: list = []  # (metric, path)
         if enabled and primary:
@@ -72,11 +78,15 @@ class CheckpointManager:
             for m, p in data.get("scores", [])
             if Path(p).exists()
         ]
-        self._scores.sort(key=lambda t: t[0])
+        self._scores.sort(key=self._rank_key)
         keep = {Path(p).name for _, p in self._scores}
         for d in self.directory.glob("step_*"):
             if d.is_dir() and d.name not in keep:
                 shutil.rmtree(d, ignore_errors=True)
+
+    def _rank_key(self, entry):
+        m = entry[0]
+        return m if self.mode == "min" else -m
 
     def _save_tree(self, path: Path, tree):
         # primary prunes any stale dir BEFORE entering orbax's save (whose
@@ -106,7 +116,7 @@ class CheckpointManager:
             # save) must replace its score entry, not duplicate it
             self._scores = [s for s in self._scores if s[1] != str(path)]
             self._scores.append((float(metric), str(path)))
-            self._scores.sort(key=lambda t: t[0])
+            self._scores.sort(key=self._rank_key)
             if self.top_k > 0:
                 while len(self._scores) > self.top_k:
                     _, worst = self._scores.pop()

@@ -19,6 +19,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_check_interval", type=float, default=0.25)
     p.add_argument("--max_epoch", type=int, default=100)
     p.add_argument("--save_epoch", type=int, default=1)
+    p.add_argument("--monitor", type=str, default="",
+                   help="checkpoint-ranking metric (default: trainer's, "
+                   "val_ce_loss for the scene trainer); val_point_iou with "
+                   "--monitor_mode max avoids CE's constant-predictor trap")
+    p.add_argument("--monitor_mode", type=str, default="",
+                   choices=["", "min", "max"])
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--accum_steps", type=int, default=1,

@@ -34,6 +34,7 @@ class BaseTrainer:
     """
 
     monitor = "val_loss"
+    monitor_mode = "min"
 
     def __init__(self, config: Config, mesh=None, experiment_dir: Optional[Path] = None):
         self.config = config
@@ -53,7 +54,14 @@ class BaseTrainer:
         self.exp_dir = Path(experiment_dir) if experiment_dir else config.experiment_dir()
         if self.is_main:
             self.exp_dir.mkdir(parents=True, exist_ok=True)
-        self.ckpt = CheckpointManager(self.exp_dir / "checkpoints", primary=self.is_main)
+        if config.monitor:
+            self.monitor = config.monitor
+        if config.monitor_mode:
+            self.monitor_mode = config.monitor_mode
+        self.ckpt = CheckpointManager(
+            self.exp_dir / "checkpoints", primary=self.is_main,
+            mode=self.monitor_mode,
+        )
         self.logger = MetricLogger(self.exp_dir / "logs", enabled=self.is_main)
         self.global_step = 0
 

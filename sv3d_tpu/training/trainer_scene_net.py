@@ -47,10 +47,23 @@ def scene_losses(config: Config, logits, occupancies, depth, depth_target, param
     else:
         mesh_ce = ce
     sigma = params["project"]["sigma"]
+    # Binary point-classification IoU at the 0.5 sigmoid threshold (logit 0).
+    # CE alone is a hazardous checkpoint monitor on this task: a constant
+    # base-rate predictor scores CE ≈ H(p_occ) — often BELOW any real model's
+    # val CE early in training — yet meshes to garbage (measured: best-val-CE
+    # checkpoint at step 264 gave held-out IoU 0.006 where a later one gave
+    # 0.24+).  point_iou is 0 for any constant predictor and tracks the mesh
+    # IoU the eval protocol actually scores.
+    pred = logits > 0
+    occ = occupancies > 0.5
+    inter = jnp.sum(pred & occ)
+    union = jnp.sum(pred | occ)
+    point_iou = inter / jnp.maximum(union, 1)
     metrics = {
         "ce_loss": ce,
         "mse_depth_loss": mse,
         "mesh_ce_loss": mesh_ce,
+        "point_iou": point_iou,
         "loss": loss,
         "sigma_x": sigma[2],
         "sigma_y": sigma[1],

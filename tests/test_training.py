@@ -199,6 +199,79 @@ def test_checkpoint_manifest_reload(tmp_path):
     assert len(ckpt2._scores) == 2
 
 
+def test_checkpoint_mode_max_ranks_high_best(tmp_path):
+    """mode='max' (e.g. monitor=val_point_iou) keeps the HIGHEST-metric
+    checkpoints, evicts the lowest, and survives a manager restart with the
+    manifest still ordered best-first (readers never need the mode)."""
+    import json
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from sv3d_tpu.training.checkpoint import CheckpointManager
+    from sv3d_tpu.training.optim import build_optimizer
+    from sv3d_tpu.training.state import create_train_state
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(2)(x)
+
+    model = Tiny()
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2)))
+    state = create_train_state(model, v, build_optimizer(1e-3, v["params"]))
+
+    ckpt = CheckpointManager(tmp_path / "ck", top_k=2, mode="max")
+    ckpt.save(state, metric=0.1, step=1)
+    ckpt.save(state, metric=0.5, step=2)
+    ckpt.save(state, metric=0.3, step=3)  # evicts step_1 (lowest of 3)
+    assert not (tmp_path / "ck" / "step_1").exists()
+    assert ckpt.best_path().endswith("step_2")
+
+    manifest = json.loads((tmp_path / "ck" / "manifest.json").read_text())
+    assert [m for m, _ in manifest["scores"]] == [0.5, 0.3]  # best-first
+
+    ckpt2 = CheckpointManager(tmp_path / "ck", top_k=2, mode="max")
+    assert ckpt2.best_path().endswith("step_2")
+    ckpt2.save(state, metric=0.7, step=4)  # evicts step_3 (now lowest)
+    assert not (tmp_path / "ck" / "step_3").exists()
+    assert ckpt2.best_path().endswith("step_4")
+
+
+def test_point_iou_metric_rejects_constant_predictor():
+    """scene_losses' point_iou is 1 for a perfect predictor, 0 for a constant
+    all-negative one, even when the constant predictor has LOWER CE — the
+    measured failure mode of monitoring val_ce_loss (a base-rate predictor
+    won best-val at CE 0.268 yet meshed to held-out IoU 0.006)."""
+    import jax.numpy as jnp
+
+    from sv3d_tpu.config import Config
+    from sv3d_tpu.training.trainer_scene_net import scene_losses
+
+    cfg = Config(sanity_steps=0)
+    occ = jnp.array([[1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]])
+    depth = jnp.zeros((1, 4, 4))
+    params = {"project": {"sigma": jnp.ones(3)}}
+
+    perfect = jnp.where(occ > 0.5, 8.0, -8.0)
+    _, m = scene_losses(cfg, perfect, occ, depth, depth, params)
+    assert float(m["point_iou"]) == 1.0
+
+    # constant logit at the base rate: sigmoid(p)=0.25 -> CE == H(0.25), which
+    # UNDERCUTS a noisy real model's CE, but predicts nothing -> IoU 0
+    base = jnp.log(0.25 / 0.75)
+    _, m_const = scene_losses(cfg, jnp.full_like(occ, base), occ, depth, depth, params)
+    assert float(m_const["point_iou"]) == 0.0
+
+    noisy = jnp.where(occ > 0.5, 0.4, -0.4) + jnp.array(
+        [[1.1, -1.2, 0.9, -0.8, 1.3, -0.7, 1.0, -1.0]]
+    )
+    _, m_noisy = scene_losses(cfg, noisy, occ, depth, depth, params)
+    assert float(m_const["ce_loss"]) < float(m_noisy["ce_loss"])
+    assert float(m_noisy["point_iou"]) > 0.0
+
+
 def test_val_check_interval_batches(tmp_path):
     """Integer val_check_interval means 'every N training batches' (PL 1.1
     semantics, reference trainer_scene_net.py:228)."""
