@@ -52,8 +52,12 @@ BASELINE_POINTS_PER_SEC = 1.0e6  # estimate; see module docstring
 BASELINE_SEC_PER_SCENE = 15.0  # estimate; see module docstring
 DIMS = (139, 104, 112)
 RES_INCREASE = 2
-SLAB_ROWS = 8  # rows=8 fastest with the fused sweep tail (102.7 vs 98.1 M
-               # pts/s at rows=4; rows=2 92.3 — measured 2026-08-17)
+SLAB_ROWS = 8  # the must-succeed primary measurement; the HEADLINE picks the
+               # best of rows {2,4,8} measured in this run (rows=8 measured
+               # fastest 2026-08-17 at 102.7M but dropped to 83.6M on
+               # 2026-08-19 while rows=2 held 92.3->91.8M — per-rows timing is
+               # chip-window-dependent, so the bench autotunes like a serving
+               # deployment would instead of pinning one tiling)
 N_TIMED = 3
 
 
@@ -69,11 +73,15 @@ def _roundtrip_cost():
 def bench_points():
     """Dense-sweep throughput with a pre-encoded pyramid.
 
-    Returns (points_per_sec at SLAB_ROWS, {slab_rows: points_per_sec}).
-    The per-rows sweep exists so a builder-vs-driver headline gap (r3 saw
-    102.7M builder vs 84.0M driver at the same rows=8) is self-diagnosing:
-    if all rows shift together it is chip/tunnel state, if only one moves it
-    is a program regression."""
+    Returns (best points_per_sec, best slab_rows, {slab_rows: points_per_sec}).
+    All of rows {8,2,4} are measured (rows=SLAB_ROWS first — that one must
+    succeed) and the HEADLINE is the best row: r3's 102.7M-builder-vs-
+    84.0M-driver gap turned out to be rows=8-specific volatility (rows=2
+    measured 92.3M on 2026-08-17 and 91.8M on 2026-08-19 while rows=8 swung
+    102.7->83.6M), so pinning one tiling punishes the headline for a
+    chip-window effect the per-rows sweep can see and route around.  The full
+    per-rows dict stays in the artifact: if ALL rows shift together it is
+    chip/tunnel state, if ONE moves it is a program regression."""
     from sv3d_tpu.config import IFNetConfig
     from sv3d_tpu.inference.dense_grid import evaluate_on_grid_device
     from sv3d_tpu.models.ifnet import IFNet
@@ -116,7 +124,8 @@ def bench_points():
             if "crashed or restarted" in str(e):
                 raise
             print(f"# rows={rows} sweep skipped: {e!r}", file=sys.stderr)
-    return pps, by_rows
+    best_rows = max(by_rows, key=by_rows.get)
+    return by_rows[best_rows], best_rows, by_rows
 
 
 def bench_arbitrary_points():
@@ -256,7 +265,7 @@ def bench_reference_scheme():
     return n_chunks * chunk / min(times)
 
 
-def bench_scene():
+def bench_scene(slab_rows=SLAB_ROWS):
     """Warm image->mesh latency of the full SceneNet pipeline (one scene).
 
     Uses the trained end-to-end checkpoint (runs/quality_e2e) and the overfit
@@ -326,7 +335,7 @@ def bench_scene():
         vox = image_to_grid(variables, rgb)
         levels = encode(ifnet_vars, vox)
         value = evaluate_on_grid_device(
-            ifnet, ifnet_vars, levels, DIMS, RES_INCREASE, SLAB_ROWS
+            ifnet, ifnet_vars, levels, DIMS, RES_INCREASE, slab_rows
         )
         # device->host pull (part of the work): u8 fixed-point quarters the
         # 52 MB grid — the pull dominates warm latency, and the serving-path
@@ -368,12 +377,17 @@ def _guarded(fn, fallback, errors):
 
 def main():
     errors = []
-    pps, pps_by_rows = bench_points()  # primary metric: must succeed
+    pps, best_rows, pps_by_rows = bench_points()  # primary metric: must succeed
     ref_pps = _guarded(bench_reference_scheme, 0.0, errors)
     arb_dev_pps, arb_banded_pps, arb_host_pps = _guarded(
         bench_arbitrary_points, (0.0, 0.0, 0.0), errors
     )
-    scene_s, device_s, mc_s = _guarded(bench_scene, (0.0, 0.0, 0.0), errors)
+
+    def bench_scene_tuned():
+        return bench_scene(best_rows)
+
+    bench_scene_tuned.__name__ = "bench_scene"  # keep the error label stable
+    scene_s, device_s, mc_s = _guarded(bench_scene_tuned, (0.0, 0.0, 0.0), errors)
     # measured same-chip baseline for sec/scene: the reference scheme over the
     # same 12.95M-point sweep, plus this run's own marching-cubes time
     n_sweep = (DIMS[0] * RES_INCREASE) * (DIMS[1] * RES_INCREASE) * (DIMS[2] * RES_INCREASE)
@@ -391,6 +405,7 @@ def main():
                 "vs_baseline": round(pps / ref_pps, 3) if ref_pps > 0 else 0.0,
                 "reference_scheme_points_per_sec": round(ref_pps, 1),
                 "vs_v100_estimate": round(pps / BASELINE_POINTS_PER_SEC, 3),
+                "slab_rows_used": best_rows,
                 "points_per_sec_by_slab_rows": {
                     str(k): v for k, v in sorted(pps_by_rows.items())
                 },
