@@ -278,7 +278,7 @@ def bench_scene(slab_rows=SLAB_ROWS):
     from sv3d_tpu.inference.dense_grid import evaluate_on_grid_device
     from sv3d_tpu.models.ifnet import IFNet
     from sv3d_tpu.models.scene_net import SceneNet
-    from sv3d_tpu.utils.visualize import visualize_sdf
+    from sv3d_tpu.utils.visualize import visualize_sdf_u8
     from __graft_entry__ import _INTRINSICS
     from sv3d_tpu.geometry.frustum import FrustumGrid
 
@@ -341,11 +341,11 @@ def bench_scene(slab_rows=SLAB_ROWS):
         # 52 MB grid — the pull dominates warm latency, and the serving-path
         # default (implicit_to_mesh) is u8 since the measured A/B
         # (f32 1567 / f16 1372 / u8 564 ms sweep+pull; see evaluate_on_grid)
-        value_np = np.asarray(
-            (value[:res0] * 255.0 + 0.5).astype(jnp.uint8)
-        ).astype(np.float32) / np.float32(255.0)
+        value_u8 = np.asarray((value[:res0] * 255.0 + 0.5).astype(jnp.uint8))
         t1 = time.perf_counter()
-        visualize_sdf(1.0 - value_np, out_path, level=0.5)
+        # native u8 marching cubes (the implicit_to_mesh serving path): same
+        # mesh to float rounding, no f32 cast / 1-v full-grid temporaries
+        visualize_sdf_u8(value_u8, out_path, level=0.5)
         t2 = time.perf_counter()
         return t1 - t0, t2 - t1
 

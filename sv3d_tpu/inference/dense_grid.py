@@ -159,16 +159,32 @@ def evaluate_on_grid(
     resolution = tuple(int(x) for x in resolution)
     res = tuple(x * res_increase for x in resolution)
 
+    if transfer_dtype == jnp.uint8:
+        host = _evaluate_u8(
+            model, variables, grid, resolution, res_increase, slab_rows, mesh
+        )
+        return host.astype(np.float32) / np.float32(255.0)
     levels = _encode_fn(model)(variables, grid)
     out = evaluate_on_grid_device(
         model, variables, levels, resolution, res_increase, slab_rows, mesh
     )
-    if transfer_dtype == jnp.uint8:
-        host = np.asarray((out[: res[0]] * 255.0 + 0.5).astype(jnp.uint8))
-        return host.astype(np.float32) / np.float32(255.0)
     if transfer_dtype is not None:
         out = out.astype(transfer_dtype)
     return np.asarray(out[: res[0]]).astype(np.float32)
+
+
+def _evaluate_u8(model, variables, grid, resolution, res_increase, slab_rows,
+                 mesh) -> np.ndarray:
+    """Dense sweep -> ON-DEVICE uint8 fixed-point cast (x/255) -> host pull.
+    The raw u8 array (quarter the f32 bytes) is what crosses the wire; the
+    serving path (implicit_to_mesh) meshes it directly via the native u8
+    marching cubes, metric evals re-expand to f32."""
+    res0 = int(resolution[0]) * res_increase
+    levels = _encode_fn(model)(variables, grid)
+    out = evaluate_on_grid_device(
+        model, variables, levels, resolution, res_increase, slab_rows, mesh
+    )
+    return np.asarray((out[:res0] * 255.0 + 0.5).astype(jnp.uint8))
 
 
 def evaluate_on_grid_device(
@@ -288,7 +304,17 @@ def implicit_to_mesh(
     the pull dominates, and quartering the bytes wins 2.8x.  u8 quantizes
     the sigmoid field by <=2e-3 -> marching-cubes vertex shifts <0.01 voxel
     at the 0.5 level (see evaluate_on_grid); pass transfer_dtype=jnp.float32
-    for exact (the contract metric evals use)."""
+    for exact (the contract metric evals use).  The u8 grid is meshed
+    directly by the native u8 marching cubes (same mesh to float rounding;
+    skips two full-grid f32 host passes — cast and the 1-v temporary)."""
+    if transfer_dtype == jnp.uint8:
+        from sv3d_tpu.utils.visualize import visualize_sdf_u8
+
+        resolution = tuple(int(x) for x in resolution)
+        host_u8 = _evaluate_u8(
+            model, variables, grid, resolution, res_increase, slab_rows, mesh
+        )
+        return visualize_sdf_u8(host_u8, output_path, level=threshold_p)
     value_grid = evaluate_on_grid(
         model, variables, grid, resolution, res_increase, slab_rows, mesh,
         transfer_dtype=transfer_dtype,

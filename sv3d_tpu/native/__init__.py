@@ -25,7 +25,7 @@ _SRC_PATH = _DIR / "geomlib.cpp"
 # Must match geom_abi_version() in geomlib.cpp; bump both on any exported-
 # signature change so stale binaries force a rebuild (an mtime check alone
 # misses binaries whose timestamps a git checkout / copy refreshed).
-_GEOM_ABI = 2
+_GEOM_ABI = 3
 
 
 def _make(force: bool = False):
@@ -100,6 +100,11 @@ def _load():
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
     ]
+    lib.mc_run_u8i.restype = ctypes.POINTER(_McResult)
+    lib.mc_run_u8i.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+    ]
     lib.mc_free.argtypes = [ctypes.POINTER(_McResult)]
     lib.th_build.restype = ctypes.c_void_p
     lib.th_build.argtypes = [ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int]
@@ -135,6 +140,27 @@ def marching_cubes(volume: np.ndarray, level: float):
     nx, ny, nz = vol.shape
     res = _lib.mc_run(
         vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nx, ny, nz, float(level)
+    )
+    try:
+        nv, nt = res.contents.n_verts, res.contents.n_tris
+        verts = np.ctypeslib.as_array(res.contents.verts, shape=(nv, 3)).copy() if nv else np.zeros((0, 3), np.float32)
+        tris = np.ctypeslib.as_array(res.contents.tris, shape=(nt, 3)).copy() if nt else np.zeros((0, 3), np.int32)
+    finally:
+        _lib.mc_free(res)
+    return verts, tris
+
+
+def marching_cubes_u8(volume: np.ndarray, level: float):
+    """Isosurface of ``1 - volume/255.0`` at ``level`` computed directly on a
+    uint8 fixed-point grid (the serving transfer format of
+    inference/dense_grid.implicit_to_mesh).  Equivalent to
+    ``marching_cubes(1.0 - volume.astype(f32)/255, level)`` to float rounding,
+    but skips both full-grid f32 passes (cast + 1-v temporary: 2x 52 MB on
+    the full-scale 12.95M-cell grid)."""
+    vol = np.ascontiguousarray(volume, dtype=np.uint8)
+    nx, ny, nz = vol.shape
+    res = _lib.mc_run_u8i(
+        vol.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nx, ny, nz, float(level)
     )
     try:
         nv, nt = res.contents.n_verts, res.contents.n_tris

@@ -27,7 +27,7 @@ extern "C" {
 // rebuilds the library when the loaded binary reports a different value —
 // a pure mtime check misses stale binaries whose timestamps were refreshed
 // by a git checkout or file copy.
-long geom_abi_version() { return 2; }
+long geom_abi_version() { return 3; }
 
 // ---------------------------------------------------------------------------
 // Marching cubes
@@ -324,11 +324,23 @@ typedef struct {
   int64_t n_tris;
 } McResult;
 
-// vol is C-ordered (nx, ny, nz); vertices come back in voxel-index coords.
-McResult* mc_run(const float* vol, int nx, int ny, int nz, float level) {
+}  // extern "C" — resumed after mc_run_impl (templates cannot have C linkage)
+
+// Marching-cubes core over element type T with a compile-time inside-test
+// direction.  GT=false: a corner is inside when value < level (the float
+// API).  GT=true: inside when value > level — used by the u8 fixed-point
+// serving pull, which maps "isosurface of (1 - v/255) at p" into the RAW
+// u8 domain as level = 255*(1-p): the inside test flips to v > level and
+// the edge interpolation t = (level - v0)/(v1 - v0) is invariant under the
+// affine remap, so the mesh matches the float path to float rounding
+// without ever materializing a float copy of the volume (two 52 MB host
+// passes saved on the full-scale 12.95M-cell serving grid).
+template <typename T, bool GT>
+static McResult* mc_run_impl(const T* vol, int nx, int ny, int nz, float level) {
   auto at = [&](int x, int y, int z) -> float {
-    return vol[((int64_t)x * ny + y) * nz + z];
+    return (float)vol[((int64_t)x * ny + y) * nz + z];
   };
+  auto inside = [&](float v) { return GT ? (v > level) : (v < level); };
   std::vector<float> verts;
   std::vector<int32_t> tris;
   // edge-vertex dedup: key = (cell linear idx) * 12 + edge, but shared edges
@@ -388,10 +400,10 @@ McResult* mc_run(const float* vol, int nx, int ny, int nz, float level) {
   std::vector<uint64_t> bits((size_t)nx * ny * nw, 0);
   for (int x = 0; x < nx; ++x) {
     for (int y = 0; y < ny; ++y) {
-      const float* row = vol + ((int64_t)x * ny + y) * nz;
+      const T* row = vol + ((int64_t)x * ny + y) * nz;
       uint64_t* b = &bits[((size_t)x * ny + y) * nw];
       for (int z = 0; z < nz; ++z)
-        if (row[z] < level) b[z >> 6] |= 1ull << (z & 63);
+        if (inside((float)row[z])) b[z >> 6] |= 1ull << (z & 63);
     }
   }
 
@@ -428,7 +440,7 @@ McResult* mc_run(const float* vol, int nx, int ny, int nz, float level) {
         int cubeindex = 0;
         for (int c = 0; c < 8; ++c) {
           corner_val[c] = at(x + kCorner[c][0], y + kCorner[c][1], z + kCorner[c][2]);
-          if (corner_val[c] < level) cubeindex |= (1 << c);
+          if (inside(corner_val[c])) cubeindex |= (1 << c);
         }
         int em = kEdgeTable[cubeindex];
         if (em == 0) continue;
@@ -477,6 +489,19 @@ McResult* mc_run(const float* vol, int nx, int ny, int nz, float level) {
   std::memcpy(res->verts, verts.data(), verts.size() * sizeof(float));
   std::memcpy(res->tris, tris.data(), tris.size() * sizeof(int32_t));
   return res;
+}
+
+extern "C" {
+
+// vol is C-ordered (nx, ny, nz); vertices come back in voxel-index coords.
+McResult* mc_run(const float* vol, int nx, int ny, int nz, float level) {
+  return mc_run_impl<float, false>(vol, nx, ny, nz, level);
+}
+
+// u8 fixed-point serving pull: the isosurface of (1 - vol/255.0) at `level`,
+// computed directly on the uint8 grid (see mc_run_impl's remap note).
+McResult* mc_run_u8i(const uint8_t* vol, int nx, int ny, int nz, float level) {
+  return mc_run_impl<uint8_t, true>(vol, nx, ny, nz, 255.0f * (1.0f - level));
 }
 
 void mc_free(McResult* res) {

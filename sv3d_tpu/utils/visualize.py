@@ -47,6 +47,18 @@ def visualize_sdf(sdf: np.ndarray, output_path: str | Path, level: float = 0.75)
     return verts, tris
 
 
+def visualize_sdf_u8(occupancy_u8: np.ndarray, output_path: str | Path,
+                     level: float = 0.5):
+    """``visualize_sdf(1.0 - occupancy_u8/255.0, path, level)`` computed
+    directly on the uint8 fixed-point serving pull — no f32 cast and no
+    ``1 - v`` temporary (each a full-grid pass; see native.marching_cubes_u8)."""
+    from sv3d_tpu.native import marching_cubes_u8
+
+    verts, tris = marching_cubes_u8(np.asarray(occupancy_u8, dtype=np.uint8), level)
+    save_obj(output_path, verts, tris)
+    return verts, tris
+
+
 def visualize_grid(grid: np.ndarray, output_path: str | Path):
     """Occupied voxels as a box soup (trimesh multibox analog, reference
     util/visualize.py:28-32)."""

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from sv3d_tpu.native import KDTree, TriangleHash, marching_cubes
+from sv3d_tpu.native import KDTree, TriangleHash, marching_cubes, marching_cubes_u8
 
 
 def test_marching_cubes_sphere():
@@ -32,6 +32,30 @@ def test_marching_cubes_watertight_plane():
     # isosurface at x = 1.5
     assert len(verts) > 0
     np.testing.assert_allclose(verts[:, 0], 1.5, atol=1e-6)
+
+
+def test_marching_cubes_u8_matches_float_path(rng):
+    """The u8 fixed-point entry point (serving pull format) must reproduce
+    marching_cubes(1 - v/255, level) exactly: same triangles (the inside-test
+    remap preserves every cube case) and vertices to float rounding (the edge
+    interpolation is invariant under the affine level remap)."""
+    x, y, z = np.meshgrid(
+        *[np.linspace(-1, 1, n) for n in (33, 29, 31)], indexing="ij"
+    )
+    field = np.exp(-3 * (x**2 + 1.3 * y**2 + 0.8 * z**2))
+    field = np.clip(field + 0.08 * rng.standard_normal(x.shape), 0, 1)
+    u8 = (field * 255.0 + 0.5).astype(np.uint8)
+    for level in (0.5, 0.3, 0.75):
+        vf, tf = marching_cubes(1.0 - u8.astype(np.float32) / np.float32(255.0), level)
+        vu, tu = marching_cubes_u8(u8, level)
+        assert len(vf) > 100  # the blob actually crosses every tested level
+        np.testing.assert_array_equal(tu, tf)
+        np.testing.assert_allclose(vu, vf, atol=1e-4)
+
+
+def test_marching_cubes_u8_empty():
+    verts, tris = marching_cubes_u8(np.zeros((8, 8, 8), dtype=np.uint8), 0.5)
+    assert len(verts) == 0 and len(tris) == 0
 
 
 def test_triangle_hash_pairs():
