@@ -176,6 +176,10 @@ def main():
         max_epoch=10_000,
         seed=args.seed,
         sanity_steps=0,
+        # checkpoints ride the val cadence (val-time save refreshes 'last'
+        # too); with 24-step epochs at n_train=96/batch=4 an epoch-end orbax
+        # save every 24 steps cost ~2x wall-clock on the tunneled chip
+        save_epoch=10_000,
         net_res=args.net_res,
         lr=args.lr,
         experiment="quality_multiscene",

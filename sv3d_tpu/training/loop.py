@@ -226,14 +226,22 @@ class BaseTrainer:
                         state, val_loader_fn(), max_batches=max_val_batches, do_vis=True
                     )
                     self.logger.log(last_val, self.global_step)
+                    # rank a checkpoint ONLY here, where the monitor score is
+                    # fresh (reference ModelCheckpoint-on-validation,
+                    # trainer_scene_net.py:217).  Epoch-end saves below pass
+                    # no metric: re-ranking a later step with a STALE score
+                    # both pollutes top-k (observed: every 24-step epoch
+                    # boundary re-entered the manifest with the previous
+                    # val's score) and costs an orbax save per epoch.
+                    self.ckpt.save(state, metric=last_val.get(self.monitor))
                     log_t0 = time.time()  # exclude validation from the rate window
                     log_step0 = self.global_step
                 if max_steps is not None and self.global_step >= max_steps:
-                    self.ckpt.save(state, metric=last_val.get(self.monitor))
+                    self.ckpt.save(state)
                     return state
             if (epoch + 1) % max(cfg.save_epoch, 1) == 0:
-                self.ckpt.save(state, metric=last_val.get(self.monitor))
-        self.ckpt.save(state, metric=last_val.get(self.monitor))
+                self.ckpt.save(state)
+        self.ckpt.save(state)
         if getattr(self, "_trace_ctx", None) is not None:
             self._trace_ctx.__exit__(None, None, None)
             self._trace_ctx = None
