@@ -174,9 +174,12 @@ def scene_distance_field(boxes) -> np.ndarray:
     return np.minimum(df / VOXEL, 3.0).astype(np.float32)
 
 
+_RAW_FILES = ("distance.exr", "rgb.png", "distance_field.df", "campose.npy")
+
+
 def generate(
     out: Path, n_scenes: int, bad_scenes: int = 0, seed: int = 0,
-    splitsdir: str = "synth",
+    splitsdir: str = "synth", skip_existing: bool = False,
 ):
     from PIL import Image
 
@@ -193,9 +196,15 @@ def generate(
     names = []
     for i in range(n_scenes + bad_scenes):
         bad = i >= n_scenes
+        scene_dir = raw_root / f"{i:03d}" / "00000"
+        names.append(f"{i:03d}/00000")
+        # scene i is seeded as SeedSequence([seed, i]) independent of n_scenes,
+        # so a scene that exists on disk is byte-identical to what a re-render
+        # would produce — growing a tree only pays for the NEW scenes
+        if skip_existing and all((scene_dir / f).exists() for f in _RAW_FILES):
+            continue
         rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
         boxes = make_scene_boxes(rng, bad=bad)
-        scene_dir = raw_root / f"{i:03d}" / "00000"
         scene_dir.mkdir(parents=True, exist_ok=True)
 
         distance, rgb = render_scene(boxes)
@@ -203,7 +212,6 @@ def generate(
         Image.fromarray(rgb).save(scene_dir / "rgb.png")
         write_df(scene_dir / "distance_field.df", scene_distance_field(boxes))
         np.save(scene_dir / "campose.npy", np.eye(4, dtype=np.float64))
-        names.append(f"{i:03d}/00000")
     return names
 
 

@@ -59,13 +59,17 @@ def build_data(root: Path, counts: dict, scale: int, num_samples: int, seed: int
     from sv3d_tpu.preprocessing.process_sample import process_sample_pipeline
 
     total = sum(counts.values()) + append_train
-    names = generate(root, total, bad_scenes=0, seed=seed, splitsdir="synth")
+    # scenes are seeded per-index, so growing an existing tree (or resuming
+    # an interrupted data stage) only renders/processes the missing scenes
+    names = generate(root, total, bad_scenes=0, seed=seed, splitsdir="synth",
+                     skip_existing=True)
     assert len(names) == total
 
     processed, quarantined = process_sample_pipeline(
         root / "raw", "synth", down_scale_factor=scale,
         num_samples=num_samples, seed=seed,
         processed_root=root / "processed" / "synth", num_workers=num_workers,
+        skip_existing=True,
     )
     assert len(quarantined) == 0, quarantined
     assert len(processed) == total

@@ -136,6 +136,15 @@ def _pipeline_one(job):
         return str(sample), type(e).__name__
 
 
+def _sample_outputs_complete(sample: Path, out: Path, processed_root) -> bool:
+    """True when every file _pipeline_one would write already exists."""
+    need = [out / "depth_grid.npz", out / "occupancy_0.01.npz",
+            out / "occupancy_0.10.npz", sample / "mesh.obj"]
+    if processed_root is not None:
+        need.append(out / "target.df")
+    return all(p.exists() for p in need)
+
+
 def process_sample_pipeline(
     dataset_path: str | Path,
     splitsdir: str,
@@ -144,6 +153,7 @@ def process_sample_pipeline(
     seed: int = 0,
     processed_root: str | Path | None = None,
     num_workers: int = 0,
+    skip_existing: bool = False,
 ):
     """Walk dataset_path/splitsdir/<scene>/<view>; quarantine failures
     (reference process_sample.py:32-72).
@@ -164,12 +174,24 @@ def process_sample_pipeline(
     d_path = Path(dataset_path) / splitsdir
     intrinsic_path = Path(dataset_path) / "intrinsics.txt"
     jobs = []
+    done = []
+    n_seen = 0
     for scene in sorted(p.name for p in d_path.iterdir() if p.is_dir()):
         for view in sorted(p.name for p in (d_path / scene).iterdir() if p.is_dir()):
-            jobs.append(
-                (d_path, intrinsic_path, scene, view, down_scale_factor,
-                 num_samples, processed_root, [seed, len(jobs)])
-            )
+            sample = d_path / scene / view
+            out = sample if processed_root is None else Path(processed_root) / scene / view
+            # each sample's rng is SeedSequence([seed, tree-walk index]) —
+            # independent of which OTHER samples exist — so skipping complete
+            # samples when a tree grows reproduces exactly what a full re-run
+            # would write for them
+            if skip_existing and _sample_outputs_complete(sample, out, processed_root):
+                done.append(str(sample))
+            else:
+                jobs.append(
+                    (d_path, intrinsic_path, scene, view, down_scale_factor,
+                     num_samples, processed_root, [seed, n_seen])
+                )
+            n_seen += 1
 
     if num_workers > 1:
         from concurrent.futures import ProcessPoolExecutor
@@ -179,7 +201,7 @@ def process_sample_pipeline(
     else:
         results = [_pipeline_one(j) for j in jobs]
 
-    processed, quarantined = [], []
+    processed, quarantined = list(done), []
     for (_, _, scene, view, *_), (sample, err) in zip(jobs, results):
         if err is None:
             processed.append(sample)

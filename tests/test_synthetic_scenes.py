@@ -168,3 +168,50 @@ def test_pipeline_parallel_matches_serial(tmp_path):
         b = np.load(roots[1] / "processed" / "synth" / rel / "occupancy_0.10.npz")
         np.testing.assert_array_equal(a["points"], b["points"])
         np.testing.assert_array_equal(a["occupancies"], b["occupancies"])
+
+def test_pipeline_grow_tree_skip_existing(tmp_path):
+    """Growing a tree with skip_existing only renders/processes the NEW
+    scenes, and every output is bit-identical to a from-scratch run at the
+    larger count (per-index SeedSequence makes scene i independent of the
+    total — the quality_multiscene --append_train contract)."""
+    from make_synthetic_scenes import generate
+
+    from sv3d_tpu.preprocessing.process_sample import process_sample_pipeline
+
+    grown, scratch = tmp_path / "grown", tmp_path / "scratch"
+
+    # grown: 2 scenes, processed; then grow to 4 with skip_existing
+    generate(grown, 2, bad_scenes=0, seed=0)
+    first, _ = process_sample_pipeline(
+        grown / "raw", "synth", down_scale_factor=SCALE, num_samples=400,
+        seed=0, processed_root=grown / "processed" / "synth",
+    )
+    assert len(first) == 2
+    # mtime probe: scene 000's outputs must NOT be rewritten by the grow pass
+    probe = grown / "processed" / "synth" / "000" / "00000" / "occupancy_0.10.npz"
+    mtime0 = probe.stat().st_mtime_ns
+    generate(grown, 4, bad_scenes=0, seed=0, skip_existing=True)
+    second, _ = process_sample_pipeline(
+        grown / "raw", "synth", down_scale_factor=SCALE, num_samples=400,
+        seed=0, processed_root=grown / "processed" / "synth",
+        skip_existing=True,
+    )
+    assert len(second) == 4  # done + newly processed
+    assert probe.stat().st_mtime_ns == mtime0
+
+    # scratch: 4 scenes in one shot
+    generate(scratch, 4, bad_scenes=0, seed=0)
+    process_sample_pipeline(
+        scratch / "raw", "synth", down_scale_factor=SCALE, num_samples=400,
+        seed=0, processed_root=scratch / "processed" / "synth",
+    )
+
+    for i in range(4):
+        rel = Path(f"{i:03d}") / "00000"
+        a = np.load(grown / "processed" / "synth" / rel / "occupancy_0.10.npz")
+        b = np.load(scratch / "processed" / "synth" / rel / "occupancy_0.10.npz")
+        np.testing.assert_array_equal(a["points"], b["points"])
+        np.testing.assert_array_equal(a["occupancies"], b["occupancies"])
+        ga = np.load(grown / "processed" / "synth" / rel / "depth_grid.npz")["grid"]
+        gb = np.load(scratch / "processed" / "synth" / rel / "depth_grid.npz")["grid"]
+        np.testing.assert_array_equal(ga, gb)
