@@ -113,6 +113,10 @@ def main():
                    help="end-to-end protocol: reconstruct from PREDICTED "
                    "depth off the RGB render (default: GT-depth viability)")
     p.add_argument("--fused_query", action="store_true")
+    p.add_argument("--flip_aug", action="store_true",
+                   help="exact-mirror horizontal flip augmentation on the "
+                   "train split (Config.flip_aug) — 2x effective scenes at "
+                   "zero disk/generation cost")
     p.add_argument("--precision", type=int, default=32)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--val_every", type=int, default=None,
@@ -174,6 +178,7 @@ def main():
         skip_unet=not args.use_unet,
         precision=args.precision,
         fused_query=args.fused_query,
+        flip_aug=args.flip_aug,
         scale_factor=args.scale_factor,
         num_points=args.num_points,
         batch_size=args.batch_size,
@@ -306,6 +311,7 @@ def main():
         "n_train": n_train, "n_val": args.n_val, "n_test": args.n_test,
         "scale_factor": args.scale_factor, "net_res": args.net_res,
         "steps": args.steps, "batch_size": args.batch_size,
+        "flip_aug": args.flip_aug,
         "train_seconds": round(train_s, 1) if train_s is not None else None,
         "eval_checkpoint": eval_ckpt,
         "monitor": args.monitor,

@@ -104,6 +104,15 @@ class Config:
     num_points: int = 2048
     W: int = 256                      # square resize target when resize_input
     resize_input: bool = False
+    #: horizontal-flip augmentation on the TRAIN split of the end-to-end
+    #: dataset.  The reference only flips in UNet-only training (its
+    #: scenes_dataset.py flips both input and target); here the flip extends
+    #: to the full pipeline: rgb and depth are column-reversed and the query
+    #: points are mirrored about the frustum's camera-x plane with the EXACT
+    #: grid-space constant 2*camera2frustum[0,3] (cx = (W-1)/2 makes the
+    #: pixel-grid mirror exact; the frustum box itself is one voxel row
+    #: asymmetric, so the mirror plane is NOT the grid center).
+    flip_aug: bool = False
     precision: int = 32               # 32 or 16 (bfloat16 on TPU)
 
     # model

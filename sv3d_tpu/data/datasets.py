@@ -67,14 +67,20 @@ class _SplitDataset:
     #: scenes_dataset.py:29 x500, implicit_dataset.py:18 x50)
     overfit_factor = 50
 
-    def __init__(self, split, datasetdir, splitsdir, seed=0, cache_items=64):
+    def __init__(self, split, datasetdir, splitsdir, seed=0, cache_items=None):
         self.split = split
         self.datasetdir = Path(datasetdir)
         self.splitsdir = splitsdir
         self.seed = int(seed)
         self.items = read_split(datasetdir, splitsdir, split)
+        n_unique = len(self.items)
         if "overfit" in splitsdir and split == "train":
             self.items = self.items * self.overfit_factor
+        if cache_items is None:
+            # size the decode cache to the split (~3 MB/item decoded): a
+            # fixed 64 gave a 24% hit rate on a 272-scene train split and the
+            # single-core host's EXR/npz decode throttled the TPU step loop
+            cache_items = min(max(n_unique, 64), 512)
         self._lock = threading.Lock()
         self._load_raw = functools.lru_cache(maxsize=cache_items)(self._load_raw_impl)
 
@@ -165,11 +171,18 @@ class SceneNetDataset(_SplitDataset):
         resize_input: bool = False,
         resize_w: int = 256,
         seed: int = 0,
+        flip_x_about: float | None = None,
     ):
         super().__init__(split, datasetdir, splitsdir, seed=seed)
         self.num_points = int(num_points)
         self.resize_input = bool(resize_input)
         self.resize_w = int(resize_w)
+        #: normed-grid-space mirror constant A: a 50%-probability horizontal
+        #: flip maps query points to A - p[..., 0] while rgb/depth columns
+        #: reverse.  A = 2*camera2frustum[0,3]/dims[0] - 1 makes the label
+        #: mirror EXACT for the pixel-grid mirror (cx = (W-1)/2); the trainer
+        #: computes it from its FrustumGrid (see Config.flip_aug).
+        self.flip_x_about = None if flip_x_about is None else float(flip_x_about)
 
     def _load_raw_impl(self, item):
         from sv3d_tpu.io.exr import read_exr_channel
@@ -191,13 +204,24 @@ class SceneNetDataset(_SplitDataset):
         points, occupancies = self._subsample_points(
             raw["occ_sets"], self.num_points, rng
         )
+        rgb, depth = raw["rgb"], raw["depth"]
+        if self.flip_x_about is not None and rng.random() < 0.5:
+            # exact-mirror augmentation: reversing image columns mirrors the
+            # back-projected cloud in camera x (X -> -X, exact when
+            # cx = (W-1)/2), and the supervision points mirror about the same
+            # plane in normed grid space (p0 -> A - p0).  Occupancy labels
+            # are invariant: occ_mirrored_scene(mirror(p)) == occ_scene(p).
+            rgb = np.ascontiguousarray(rgb[:, ::-1])
+            depth = np.ascontiguousarray(depth[:, ::-1])
+            points = points.copy()
+            points[:, 0] = self.flip_x_about - points[:, 0]
         return {
             "name": item,
             "mesh": raw["mesh"],
-            "rgb": raw["rgb"],
+            "rgb": rgb,
             "points": points,
             "occupancies": occupancies,
-            "depthmap_target": raw["depth"],
+            "depthmap_target": depth,
         }
 
 

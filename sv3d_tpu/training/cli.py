@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profiler", type=str, default=None)
     p.add_argument("--version", type=str, default=None)
     p.add_argument("--resize_input", action="store_true")
+    p.add_argument("--flip_aug", action="store_true",
+                   help="exact-mirror horizontal flip augmentation on the "
+                   "end-to-end train split (see Config.flip_aug)")
     p.add_argument("--pretrain_unet", default=None)
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--min_z", type=float, default=DEFAULT_MIN_Z)

@@ -226,11 +226,33 @@ class SceneNetTrainer(BaseTrainer):
             state = load_pretrained_unet(state, cfg.pretrain_unet)
         return state
 
+    def _flip_x_about(self):
+        """Normed mirror constant for flip augmentation (Config.flip_aug).
+
+        Grid-space mirror of camera X -> -X is x -> C - x with
+        C = 2*camera2frustum[0,3] (the frustum box is ~one voxel row
+        asymmetric in x, so C != dims[0]); normed by dims that is
+        p -> A - p with A = C/dims[0] - 1."""
+        if not self.config.flip_aug:
+            return None
+        if self.config.subsample_points > 0:
+            # the mid-step host labeling path labels the PROJECTED cloud
+            # against the unflipped GT mesh; flipped inputs would need the
+            # cloud mirrored back before labeling, which the dataset-level
+            # flip decision is invisible to
+            raise NotImplementedError(
+                "flip_aug with subsample_points > 0 is not supported: "
+                "host-side occupancy labeling cannot see which samples "
+                "were flipped"
+            )
+        c2f = self.frustum.camera2frustum
+        return 2.0 * c2f[0][3] / self.config.dims[0] - 1.0
+
     def train_dataset(self):
         c = self.config
         return SceneNetDataset(
             "train", c.datasetdir, c.num_points, c.splitsdir,
-            c.resize_input, c.W, seed=c.seed,
+            c.resize_input, c.W, seed=c.seed, flip_x_about=self._flip_x_about(),
         )
 
     def val_dataset(self):

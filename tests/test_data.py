@@ -157,3 +157,66 @@ def test_dataset_rng_thread_safe_deterministic():
         "train", FIXTURE_DATA, num_points=16, splitsdir="overfit", seed=7
     )
     assert not np.array_equal(ds[0]["points"], ds[1]["points"])
+
+
+def test_scene_net_dataset_flip_aug():
+    """With flip_x_about set, ~half of accesses return the column-reversed
+    rgb/depth and points mirrored as p0 -> A - p0, with occupancy labels and
+    the per-access subsample unchanged (the flip draw follows the subsample
+    draw in the same rng stream)."""
+    A = -0.00628
+    base = SceneNetDataset("train", FIXTURE_DATA, num_points=16, splitsdir="overfit")
+    ds = SceneNetDataset(
+        "train", FIXTURE_DATA, num_points=16, splitsdir="overfit", flip_x_about=A
+    )
+    n_flipped = 0
+    for epoch in range(8):
+        for idx in range(4):
+            ref, s = base.get(idx, epoch), ds.get(idx, epoch)
+            np.testing.assert_array_equal(s["occupancies"], ref["occupancies"])
+            if np.array_equal(s["rgb"], ref["rgb"]):
+                np.testing.assert_array_equal(s["points"], ref["points"])
+                np.testing.assert_array_equal(
+                    s["depthmap_target"], ref["depthmap_target"]
+                )
+                continue
+            n_flipped += 1
+            np.testing.assert_array_equal(s["rgb"], ref["rgb"][:, ::-1])
+            np.testing.assert_array_equal(
+                s["depthmap_target"], ref["depthmap_target"][:, ::-1]
+            )
+            np.testing.assert_allclose(
+                s["points"][:, 0], A - ref["points"][:, 0], atol=1e-6
+            )
+            np.testing.assert_array_equal(s["points"][:, 1:], ref["points"][:, 1:])
+    assert 4 <= n_flipped <= 28  # ~Binomial(32, 0.5); bounds are ~5 sigma
+
+
+def test_trainer_flip_x_about_matches_geometry():
+    """SceneNetTrainer computes the dataset's mirror constant from its own
+    FrustumGrid; flip_aug + subsample_points is guarded (host labeling can't
+    see flips)."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from sv3d_tpu.config import Config
+    from sv3d_tpu.training.trainer_scene_net import SceneNetTrainer
+
+    cfg = Config(datasetdir=str(FIXTURE_DATA), splitsdir="overfit",
+                 flip_aug=True, num_points=8)
+    tr = SceneNetTrainer.__new__(SceneNetTrainer)  # geometry only, no state
+    tr.config = cfg
+    from sv3d_tpu.geometry import FrustumGrid, read_intrinsics
+
+    intr = read_intrinsics(FIXTURE_DATA / "intrinsics.txt")
+    tr.frustum = FrustumGrid.create(intr, voxel_size=0.05 * cfg.scale_factor)
+    A = tr._flip_x_about()
+    assert A == _pytest.approx(
+        2.0 * tr.frustum.camera2frustum[0][3] / cfg.dims[0] - 1.0
+    )
+    tr.config = dataclasses.replace(cfg, subsample_points=64)
+    with _pytest.raises(NotImplementedError):
+        tr._flip_x_about()
+    tr.config = dataclasses.replace(cfg, flip_aug=False)
+    assert tr._flip_x_about() is None

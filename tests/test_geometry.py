@@ -86,3 +86,30 @@ def test_make_3d_grid_ordering():
     # res_increase multiplies the lattice resolution (reference ifnet.py:202-212)
     pts2 = np.asarray(make_3d_grid((-0.5,) * 3, (0.5,) * 3, (2, 3, 4), res_increase=2))
     assert pts2.shape == (24 * 8, 3)
+
+
+def test_flip_mirror_constant_exact(fixture_dir):
+    """Column-reversing a depth map mirrors the back-projected cloud about
+    the flip-augmentation constant A = 2*camera2frustum[0,3]/dims[0] - 1 in
+    normed grid space — EXACTLY (cx = (W-1)/2), which is what makes the
+    dataset-level label transform p0 -> A - p0 valid (Config.flip_aug)."""
+    from sv3d_tpu.config import FULL_DIMS
+
+    intr = read_intrinsics(fixture_dir / "intrinsic.txt")
+    grid = FrustumGrid.create(intr, voxel_size=0.05)
+    rng = np.random.default_rng(3)
+    depth = rng.uniform(0.5, 5.5, size=(1, 240, 320)).astype(np.float32)
+    flipped = np.ascontiguousarray(depth[:, :, ::-1])
+
+    def normed(d):
+        pc = depthmap_to_gridspace(jnp.asarray(d), intr, grid)
+        return np.asarray(norm_grid_space(pc, FULL_DIMS)).reshape(240, 320, 3)
+
+    p, pf = normed(depth), normed(flipped)
+    A = 2.0 * grid.camera2frustum[0][3] / FULL_DIMS[0] - 1.0
+    # pixel (v, u) of the flipped image is pixel (v, W-1-u) of the original
+    np.testing.assert_allclose(pf[:, :, 0], A - p[:, ::-1, 0], atol=2e-6)
+    np.testing.assert_allclose(pf[:, :, 1:], p[:, ::-1, 1:], atol=2e-6)
+    # the mirror plane is NOT the grid center: the frustum box is ~one voxel
+    # row asymmetric in x, so approximating A = 0 would misalign labels
+    assert abs(A) > 1e-3 / FULL_DIMS[0]
