@@ -58,6 +58,25 @@ def build_data(root: Path, counts: dict, scale: int, num_samples: int, seed: int
     from sv3d_tpu.data.splits import write_split
     from sv3d_tpu.preprocessing.process_sample import process_sample_pipeline
 
+    # skip_existing keys on file EXISTENCE, so a rerun with different
+    # generation parameters against the same --root would silently reuse stale
+    # scenes/occupancies while the results JSON reports the new parameters.
+    # A params stamp in the data root makes that an error instead.
+    stamp_path = root / "params_stamp.json"
+    stamp = {"seed": seed, "num_samples": num_samples, "scale_factor": scale}
+    if stamp_path.exists():
+        old = json.loads(stamp_path.read_text())
+        if old != stamp:
+            raise SystemExit(
+                f"data root {root} was generated with {old}, but this run "
+                f"requests {stamp}; skip_existing would silently mix stale "
+                f"data with new parameters — use a fresh --root or delete "
+                f"the tree (and {stamp_path.name})"
+            )
+    else:
+        root.mkdir(parents=True, exist_ok=True)
+        stamp_path.write_text(json.dumps(stamp))
+
     total = sum(counts.values()) + append_train
     # scenes are seeded per-index, so growing an existing tree (or resuming
     # an interrupted data stage) only renders/processes the missing scenes

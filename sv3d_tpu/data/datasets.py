@@ -191,10 +191,24 @@ class SceneNetDataset(_SplitDataset):
         rgb = _load_normalized_rgb(
             raw / "rgb.png", False, self.resize_input, self.resize_w
         )
+        # the flipped variant decodes with flip_lr=True, i.e. the RAW image
+        # is mirrored BEFORE SquarePad+Resize: flipping the padded/resized
+        # output instead is only equivalent when the horizontal padding is
+        # symmetric (true for 320x240, but a portrait/odd-pad input would
+        # shift rgb ~1px against the mirrored depth target).  Cached per
+        # item, so the extra decode is one-time per LRU fill.
+        rgb_flipped = (
+            _load_normalized_rgb(
+                raw / "rgb.png", True, self.resize_input, self.resize_w
+            )
+            if self.flip_x_about is not None
+            else None
+        )
         distance = read_exr_channel(raw / "distance.exr", "R")
         depth = _distance_to_depth_np(distance, self._read_focal_length(item))
         return {
             "rgb": rgb,
+            "rgb_flipped": rgb_flipped,
             "depth": depth,
             "mesh": str(raw / "mesh.obj"),
             "occ_sets": self._load_occupancy_sets(item),
@@ -205,17 +219,26 @@ class SceneNetDataset(_SplitDataset):
             raw["occ_sets"], self.num_points, rng
         )
         rgb, depth = raw["rgb"], raw["depth"]
-        if self.flip_x_about is not None and rng.random() < 0.5:
-            # exact-mirror augmentation: reversing image columns mirrors the
-            # back-projected cloud in camera x (X -> -X, exact when
-            # cx = (W-1)/2), and the supervision points mirror about the same
-            # plane in normed grid space (p0 -> A - p0).  Occupancy labels
-            # are invariant: occ_mirrored_scene(mirror(p)) == occ_scene(p).
-            rgb = np.ascontiguousarray(rgb[:, ::-1])
-            depth = np.ascontiguousarray(depth[:, ::-1])
-            points = points.copy()
-            points[:, 0] = self.flip_x_about - points[:, 0]
+        out = {}
+        if self.flip_x_about is not None:
+            flipped = rng.random() < 0.5
+            if flipped:
+                # exact-mirror augmentation: reversing image columns mirrors
+                # the back-projected cloud in camera x (X -> -X, exact when
+                # cx = (W-1)/2), and the supervision points mirror about the
+                # same plane in normed grid space (p0 -> A - p0).  Occupancy
+                # labels are invariant:
+                # occ_mirrored_scene(mirror(p)) == occ_scene(p).
+                rgb = raw["rgb_flipped"]
+                depth = np.ascontiguousarray(depth[:, ::-1])
+                points = points.copy()
+                points[:, 0] = self.flip_x_about - points[:, 0]
+            # the flag rides the batch so mid-step host labeling
+            # (subsample_points) can mirror the projected cloud back before
+            # querying the UNFLIPPED GT mesh (trainer _occupancies_with_pc)
+            out["flipped"] = np.float32(flipped)
         return {
+            **out,
             "name": item,
             "mesh": raw["mesh"],
             "rgb": rgb,

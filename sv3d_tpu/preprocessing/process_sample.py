@@ -15,6 +15,7 @@ raise (reference process_sample.py:43-72).
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -26,6 +27,18 @@ from sv3d_tpu.io.exr import read_exr_channel
 from sv3d_tpu.io.volume import read_df
 from sv3d_tpu.preprocessing.occupancies import sample_points
 from sv3d_tpu.utils.visualize import visualize_sdf
+
+
+def _atomic_savez(path_base: Path, compressed: bool = False, **arrays):
+    """Write <path_base>.npz via a temp name + os.replace so that file
+    EXISTENCE implies completeness: a run killed mid-write must not leave a
+    truncated npz that skip_existing (_sample_outputs_complete) would then
+    trust forever, poisoning the processed tree until manually deleted."""
+    final = path_base.with_name(path_base.name + ".npz")
+    tmp = final.with_name(final.name + ".tmp")
+    with open(tmp, "wb") as f:
+        (np.savez_compressed if compressed else np.savez)(f, **arrays)
+    os.replace(tmp, final)
 
 
 def depth_grid_from_distance(
@@ -78,7 +91,7 @@ def process_sample(
         sample / "distance.exr", intrinsic, down_scale_factor
     )
     assert tuple(grid_dims) == dims, (grid_dims, dims)
-    np.savez_compressed(out / "depth_grid", grid=grid)
+    _atomic_savez(out / "depth_grid", compressed=True, grid=grid)
 
     df = read_df(sample / "distance_field.df", down_scale_factor)
     visualize_sdf(df, sample / "mesh.obj", level=1.0)
@@ -89,7 +102,7 @@ def process_sample(
         pts, occ, grid_coords = sample_points(
             sample / "mesh.obj", dims, num_samples, sigma, rng=rng
         )
-        np.savez(
+        _atomic_savez(
             out / f"occupancy_{sigma:.02f}",
             points=pts, occupancies=occ, grid_coords=grid_coords,
         )
@@ -115,7 +128,7 @@ def _pipeline_one(job):
         _, grid, _ = depth_grid_from_distance(
             sample / "distance.exr", intrinsic_path, down_scale_factor
         )
-        np.savez_compressed(out / "depth_grid", grid=grid)
+        _atomic_savez(out / "depth_grid", compressed=True, grid=grid)
         df = read_df(sample / "distance_field.df", down_scale_factor)
         visualize_sdf(df, sample / "mesh.obj", level=1.0)
         if processed_root is not None:
@@ -125,7 +138,7 @@ def _pipeline_one(job):
             pts, occ, grid_coords = sample_points(
                 sample / "mesh.obj", dims, num_samples, sigma, rng=rng
             )
-            np.savez(
+            _atomic_savez(
                 out / f"occupancy_{sigma:.02f}",
                 points=pts, occupancies=occ, grid_coords=grid_coords,
             )

@@ -35,6 +35,7 @@ class CheckpointManager:
         enabled: bool = True,
         primary: bool = True,
         mode: str = "min",
+        monitor: str = "",
     ):
         """enabled=False makes save() a fully inert no-op.
 
@@ -56,6 +57,10 @@ class CheckpointManager:
         # list is always written best-first, so readers never need the mode.
         assert mode in ("min", "max"), mode
         self.mode = mode
+        # provenance: the metric name behind the scores list, written into
+        # the manifest so artifacts record WHICH monitor ranked them (the
+        # r4 32-scene QUALITY artifact couldn't answer that question)
+        self.monitor = monitor
         self._ckpt = ocp.PyTreeCheckpointer()
         self._scores: list = []  # (metric, path)
         if enabled and primary:
@@ -124,7 +129,14 @@ class CheckpointManager:
         if not self.primary:
             return
         (self.directory / "manifest.json").write_text(
-            json.dumps({"scores": self._scores, "last_step": step})
+            json.dumps(
+                {
+                    "scores": self._scores,
+                    "last_step": step,
+                    "monitor": self.monitor,
+                    "mode": self.mode,
+                }
+            )
         )
 
     def restore(self, name: str = "last") -> dict:

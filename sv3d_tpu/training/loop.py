@@ -56,11 +56,17 @@ class BaseTrainer:
             self.exp_dir.mkdir(parents=True, exist_ok=True)
         if config.monitor:
             self.monitor = config.monitor
+            if not config.monitor_mode:
+                # infer the ranking direction from the metric name so
+                # `--monitor val_ce_loss` on a max-mode trainer (or
+                # `--monitor val_point_iou` on a min-mode one) cannot
+                # silently rank in the wrong direction
+                self.monitor_mode = "max" if self.monitor.endswith("_iou") else "min"
         if config.monitor_mode:
             self.monitor_mode = config.monitor_mode
         self.ckpt = CheckpointManager(
             self.exp_dir / "checkpoints", primary=self.is_main,
-            mode=self.monitor_mode,
+            mode=self.monitor_mode, monitor=self.monitor,
         )
         self.logger = MetricLogger(self.exp_dir / "logs", enabled=self.is_main)
         self.global_step = 0

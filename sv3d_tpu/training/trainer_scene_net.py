@@ -181,7 +181,15 @@ def make_project_step(model: SceneNet, config: Config):
 
 
 class SceneNetTrainer(BaseTrainer):
-    monitor = "val_ce_loss"
+    # Checkpoint ranking: binary point-IoU, NOT the reference's val CE
+    # (ModelCheckpoint(monitor='val_ce_loss'), reference
+    # trainer_scene_net.py:217).  This is a measured, deliberate divergence:
+    # val CE is minimized early by a constant base-rate predictor whose
+    # meshes are garbage (held-out IoU 0.006 from the best-val-CE checkpoint
+    # vs 0.24+ from a point-IoU-ranked one; see scene_losses).  Pass
+    # `--monitor val_ce_loss` for strict reference parity.
+    monitor = "val_point_iou"
+    monitor_mode = "max"
 
     def __init__(self, config: Config, **kw):
         super().__init__(config, **kw)
@@ -235,15 +243,17 @@ class SceneNetTrainer(BaseTrainer):
         p -> A - p with A = C/dims[0] - 1."""
         if not self.config.flip_aug:
             return None
-        if self.config.subsample_points > 0:
-            # the mid-step host labeling path labels the PROJECTED cloud
-            # against the unflipped GT mesh; flipped inputs would need the
-            # cloud mirrored back before labeling, which the dataset-level
-            # flip decision is invisible to
-            raise NotImplementedError(
-                "flip_aug with subsample_points > 0 is not supported: "
-                "host-side occupancy labeling cannot see which samples "
-                "were flipped"
+        # exactness precondition: reversing image columns is the mirror about
+        # camera X=0 only when the principal point sits at the pixel-grid
+        # center, cx == (W-1)/2.  The synthetic and reference intrinsics
+        # satisfy it (cx=159.5, W=320); anything else would silently train on
+        # labels misaligned from the mirrored depth.
+        image_width = 320
+        if abs(2.0 * self.intrinsics.cx - (image_width - 1)) > 1e-6:
+            raise ValueError(
+                f"flip_aug requires cx == (W-1)/2 for an exact mirror; got "
+                f"cx={self.intrinsics.cx} with W={image_width} "
+                f"(2*cx - (W-1) = {2.0 * self.intrinsics.cx - (image_width - 1):.4f})"
             )
         c2f = self.frustum.camera2frustum
         return 2.0 * c2f[0][3] / self.config.dims[0] - 1.0
@@ -291,8 +301,25 @@ class SceneNetTrainer(BaseTrainer):
         cross-host transfer), labels them against its local mesh paths
         (batch["mesh"] passes through shard_batch as the process-local
         list), and the global occupancy array is reassembled with
-        make_array_from_process_local_data."""
+        make_array_from_process_local_data.
+
+        flip_aug: flipped samples project a cloud in the MIRRORED scene; the
+        per-sample "flipped" flag from the dataset mirrors those rows back
+        (p0 -> A - p0) before querying the UNFLIPPED GT mesh.  Labels stay
+        valid for the flipped inputs because occupancy is mirror-invariant:
+        occ_mirrored_scene(p) == occ_scene(A - p)."""
         from sv3d_tpu.preprocessing.occupancies import determine_occupancy
+
+        def mirror_back(pc_np, flipped):
+            if flipped is None:
+                return pc_np
+            mask = np.asarray(flipped) > 0.5
+            if not mask.any():
+                return pc_np
+            a = self._flip_x_about()
+            pc_np = pc_np.copy()
+            pc_np[mask, :, 0] = a - pc_np[mask, :, 0]
+            return pc_np
 
         pc_global = self._project_step(
             state, batch["rgb"], batch["depthmap_target"], rng_key
@@ -305,12 +332,13 @@ class SceneNetTrainer(BaseTrainer):
             assert pc.shape[0] == len(batch["mesh"]) == occ_local.shape[0], (
                 pc.shape, len(batch["mesh"]), occ_local.shape,
             )
+            pc = mirror_back(np.asarray(pc), batch.get("flipped"))
             _, occ_pc = determine_occupancy(batch["mesh"], pc, dims=self.config.dims)
             occ = np.concatenate([occ_pc.astype(np.float32), occ_local], axis=1)
             return jax.make_array_from_process_local_data(
                 point_sharding(self.mesh), occ
             )
-        pc = np.asarray(pc_global)
+        pc = mirror_back(np.asarray(pc_global), batch.get("flipped"))
         _, occ_pc = determine_occupancy(batch["mesh"], pc, dims=self.config.dims)
         occ = np.concatenate(
             [occ_pc.astype(np.float32), np.asarray(batch["occupancies"])], axis=1

@@ -194,8 +194,8 @@ def test_scene_net_dataset_flip_aug():
 
 def test_trainer_flip_x_about_matches_geometry():
     """SceneNetTrainer computes the dataset's mirror constant from its own
-    FrustumGrid; flip_aug + subsample_points is guarded (host labeling can't
-    see flips)."""
+    FrustumGrid, and rejects intrinsics whose principal point breaks the
+    exact-mirror precondition (cx must be (W-1)/2)."""
     import dataclasses
 
     import pytest as _pytest
@@ -210,13 +210,21 @@ def test_trainer_flip_x_about_matches_geometry():
     from sv3d_tpu.geometry import FrustumGrid, read_intrinsics
 
     intr = read_intrinsics(FIXTURE_DATA / "intrinsics.txt")
+    tr.intrinsics = intr
     tr.frustum = FrustumGrid.create(intr, voxel_size=0.05 * cfg.scale_factor)
     A = tr._flip_x_about()
     assert A == _pytest.approx(
         2.0 * tr.frustum.camera2frustum[0][3] / cfg.dims[0] - 1.0
     )
-    tr.config = dataclasses.replace(cfg, subsample_points=64)
-    with _pytest.raises(NotImplementedError):
+    # an off-center principal point (e.g. cx = W/2 = 160.0) would silently
+    # misalign mirrored labels — must raise, not train wrong
+    from sv3d_tpu.geometry.camera import Intrinsics
+
+    m = [list(r) for r in intr.matrix]
+    m[0][2] = 160.0
+    tr.intrinsics = Intrinsics(tuple(tuple(r) for r in m))
+    with _pytest.raises(ValueError, match="cx"):
         tr._flip_x_about()
+    tr.intrinsics = intr
     tr.config = dataclasses.replace(cfg, flip_aug=False)
     assert tr._flip_x_about() is None

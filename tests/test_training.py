@@ -106,6 +106,53 @@ def test_scene_net_trainer_smoke(tmp_path):
     assert "sigma_x" in rec
 
 
+def test_scene_net_default_monitor_is_point_iou(tmp_path):
+    """The flagship trainer must NOT default to the reference's val_ce_loss
+    monitor (reference trainer_scene_net.py:217): measured in r4, best-val-CE
+    selects a constant base-rate predictor (held-out IoU 0.006 vs 0.24+).
+    Default = val_point_iou ranked max; the manifest records both, and a bare
+    `--monitor val_ce_loss` (no mode) must re-infer mode=min."""
+    from sv3d_tpu.training.trainer_scene_net import SceneNetTrainer
+
+    cfg = Config(
+        datasetdir=str(FIXTURE_DATA),
+        splitsdir="overfit",
+        scale_factor=4,
+        num_points=16,
+        batch_size=1,
+        max_epoch=1,
+        seed=0,
+        sanity_steps=0,
+        skip_unet=True,
+        experiment="test_monitor",
+        net_res=32,
+        val_check_interval=2,
+        val_check_percent=1.0,
+    )
+    trainer = SceneNetTrainer(cfg, experiment_dir=tmp_path / "exp")
+    assert trainer.monitor == "val_point_iou"
+    assert trainer.monitor_mode == "max"
+    trainer.fit(max_steps=4)
+    manifest = json.loads(
+        (tmp_path / "exp" / "checkpoints" / "manifest.json").read_text()
+    )
+    assert manifest["monitor"] == "val_point_iou"
+    assert manifest["mode"] == "max"
+    scores = [m for m, _ in manifest["scores"]]
+    assert scores == sorted(scores, reverse=True)  # ranked best(=highest) first
+
+    # reference-parity escape hatch: monitor override without an explicit
+    # mode infers the ranking direction from the metric name
+    import dataclasses
+
+    t2 = SceneNetTrainer(
+        dataclasses.replace(cfg, monitor="val_ce_loss"),
+        experiment_dir=tmp_path / "exp2",
+    )
+    assert t2.monitor == "val_ce_loss"
+    assert t2.monitor_mode == "min"
+
+
 def test_unet_warm_start(tmp_path):
     """use_pretrained_unet analog: only the unet subtree is overwritten
     (reference trainer_scene_net.py:204-212)."""

@@ -123,6 +123,59 @@ def test_subsample_under_dp_sp_mesh(tmp_path):
     assert np.isfinite(recs[0]["train_mesh_ce_loss"])
 
 
+def test_flip_aug_subsample_mirror_back(tmp_path):
+    """flip_aug + subsample_points (r4's NotImplementedError, now supported):
+    rows flagged "flipped" must have their projected cloud mirrored back
+    (p0 -> A - p0) before host labeling against the UNFLIPPED GT mesh, and
+    unflagged rows must be labeled as-is."""
+    import jax
+
+    from sv3d_tpu.data.loader import collate
+    from sv3d_tpu.preprocessing.occupancies import determine_occupancy
+    from sv3d_tpu.training.trainer_scene_net import SceneNetTrainer
+
+    cfg = Config(
+        datasetdir=str(FIXTURE_DATA), splitsdir="overfit", scale_factor=4,
+        num_points=8, subsample_points=64, batch_size=1, seed=0,
+        skip_unet=True, net_res=32, experiment="t", flip_aug=True,
+    )
+    trainer = SceneNetTrainer(cfg, experiment_dir=tmp_path / "exp")
+    state = trainer.build_state(jax.random.PRNGKey(0))
+    sample = trainer.train_dataset()[0]
+    rng = jax.random.PRNGKey(1)
+
+    for flag in (0.0, 1.0):
+        sample = dict(sample)
+        sample["flipped"] = np.float32(flag)
+        batch = collate([sample])
+        occ = np.asarray(trainer._occupancies_with_pc(state, batch, rng))
+        # expected: project (GT depth in this batch), mirror iff flagged,
+        # label against the GT mesh
+        pc = np.asarray(
+            trainer._project_step(
+                state, batch["rgb"], batch["depthmap_target"], rng
+            )
+        )
+        if flag:
+            pc = pc.copy()
+            pc[..., 0] = trainer._flip_x_about() - pc[..., 0]
+        _, occ_expected = determine_occupancy(
+            batch["mesh"], pc, dims=cfg.dims
+        )
+        np.testing.assert_array_equal(occ[:, :64], occ_expected)
+
+    # and the full train path runs with both features enabled (the r4 guard
+    # raised here)
+    trainer2 = SceneNetTrainer(cfg, experiment_dir=tmp_path / "exp2")
+    state2 = trainer2.fit(max_steps=2)
+    assert int(state2.step) == 2
+    recs = [
+        json.loads(l)
+        for l in (tmp_path / "exp2" / "logs" / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert np.isfinite(recs[0]["train_ce_loss"])
+
+
 def test_grad_accumulation_smoke(tmp_path):
     """accum_steps=2 splits the batch into microbatches (scan), averages
     grads, applies once — finite losses, state advances per optimizer step."""
