@@ -36,6 +36,10 @@ def main():
     p.add_argument("--n", type=int, default=262144)
     p.add_argument("--bands", default="0,4,8,16",
                    help="comma list; 0 = the 1-D slab path")
+    p.add_argument("--col_shift", action="store_true",
+                   help="per-displacement column sub-windows (the K-fill "
+                   "geometry experiment, _band_windows_disp): contraction K "
+                   "drops to wrows*wcols_k at the same band_cols")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -63,12 +67,14 @@ def main():
     rt = (time.perf_counter() - t0) / 5
 
     cfg = IFNetConfig.for_net_res(128)
-    out = {"n": args.n, "dims": DIMS, "results": {}}
+    out = {"n": args.n, "dims": DIMS, "col_shift": args.col_shift,
+           "results": {}}
     for b in (int(x) for x in args.bands.split(",")):
         bands = None if b == 0 else b
         query = jax.jit(
             lambda v, lv, p, _bands=bands: jax.nn.sigmoid(
                 model.apply(v, lv, p, mesh="local", bands=_bands,
+                            col_shift=args.col_shift,
                             method=IFNet.query_fused)
             )
         )

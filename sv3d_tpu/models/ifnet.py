@@ -86,6 +86,7 @@ _point_conv_init = nn.initializers.variance_scaling(
 def _query_fused_impl(
     cfg: IFNetConfig, kernels, biases, levels: Pyramid, points: jnp.ndarray,
     interpret: bool | None, tile: int | None, bands: int | None = None,
+    col_shift: bool = False,
 ) -> jnp.ndarray:
     """Single-device body of IFNet.query_fused (standalone so it can run as
     the per-shard function of a shard_map — shard_map wants explicit array
@@ -143,7 +144,7 @@ def _query_fused_impl(
             h = h + level_fc0_banded(
                 vol, w0_level(li, c).T, q0, q1, q2, tile_slab, tile_band,
                 tile_used, dims, g0_fine, g1_fine, cfg.align_corners,
-                cfg.displacement, bands, tile, interpret,
+                cfg.displacement, bands, tile, interpret, col_shift,
             ).astype(jnp.float32)
     else:
         q0, q1, q2, pos, tile_slab, tile_used = bucket_queries(
@@ -319,6 +320,7 @@ class IFNet(nn.Module):
     def query_fused(
         self, levels: Pyramid, points: jnp.ndarray, interpret: bool | None = None,
         tile: int | None = None, mesh: object = None, bands: int | None = None,
+        col_shift: bool = False,
     ) -> jnp.ndarray:
         """MXU-fused arbitrary-point query (Pallas; inference fast path).
 
@@ -363,7 +365,7 @@ class IFNet(nn.Module):
 
                 fn = jax.shard_map(
                     lambda k, bi, lv, p: _query_fused_impl(
-                        cfg, k, bi, lv, p, interpret, tile, bands
+                        cfg, k, bi, lv, p, interpret, tile, bands, col_shift
                     ),
                     mesh=mesh,
                     in_specs=(P(), P(), P("dp"), P("dp", "sp")),
@@ -372,7 +374,8 @@ class IFNet(nn.Module):
                 )
                 return fn(kernels, biases, levels, points)
         return _query_fused_impl(
-            cfg, kernels, biases, levels, points, interpret, tile, bands
+            cfg, kernels, biases, levels, points, interpret, tile, bands,
+            col_shift,
         )
 
     def _slab_axis0(

@@ -21,6 +21,7 @@ import numpy as np
 from sv3d_tpu.ops.pallas.point_query import (
     SLAB_FINE_ROWS,
     _band_windows,
+    _band_windows_disp,
     _ix_affine,
     _level_windows,
     _num_slabs,
@@ -48,12 +49,15 @@ def pad128(x):
     return -(-x // 128) * 128
 
 
-def kernel_costs(cfg, full_dims, bands: int):
+def kernel_costs(cfg, full_dims, bands: int, col_shift: bool = False):
     """Per-REAL-point MXU/VPU flops by level (pad-slot factor applied
     separately by `pad_amplification`).
 
     Returns (rows, mxu_total, vpu_total, mlp_per_slot) where rows is a list
-    of (name, K, N, mxu_flops_per_pt, vpu_flops_per_pt)."""
+    of (name, K, N, mxu_flops_per_pt, vpu_flops_per_pt).
+
+    col_shift: model the per-displacement column sub-window variant
+    (K = wrows * wcols_k from _band_windows_disp)."""
     chans = cfg.feature_channels
     ldims = level_dims(full_dims, len(chans))
     g0f, g1f = ldims[0][0], ldims[0][1]
@@ -66,9 +70,14 @@ def kernel_costs(cfg, full_dims, bands: int):
         g2c = dims[2] * c
         g2p = pad128(g2c)
         if bands:
-            _, wcols = _band_windows(
-                g1f, dims, cfg.align_corners, cfg.displacement, bands
-            )
+            if col_shift:
+                _, wcols = _band_windows_disp(
+                    g1f, dims, cfg.align_corners, cfg.displacement, bands
+                )
+            else:
+                _, wcols = _band_windows(
+                    g1f, dims, cfg.align_corners, cfg.displacement, bands
+                )
             k = wrows * wcols
         else:
             k = wrows * pad8(dims[1])
@@ -118,14 +127,14 @@ def pad_amplification(cfg, full_dims, bands: int, tile: int, n: int,
 
 
 def issued_flops_per_point(cfg, full_dims, bands: int, tile: int = 128,
-                           n: int = 65536) -> float:
+                           n: int = 65536, col_shift: bool = False) -> float:
     """Total issued MXU FLOPs per real point, pad-slot amplification
     included.  NOTE: hardware showed this alone does NOT order throughput —
     the banded kernels' short contraction K wastes MXU K-tiles.  Use
     predicted_sec_per_point for band selection; this stays as the
     issued-work denominator for achieved-TFLOP reporting
     (scripts/bands_sweep.py)."""
-    _, mxu, _, mlp = kernel_costs(cfg, full_dims, bands)
+    _, mxu, _, mlp = kernel_costs(cfg, full_dims, bands, col_shift)
     amp, _ = pad_amplification(cfg, full_dims, bands, tile, n)
     return (mxu + mlp) * amp
 
@@ -152,13 +161,13 @@ def ktile_efficiency(k: int) -> float:
 
 
 def predicted_sec_per_point(cfg, full_dims, bands: int, tile: int = 128,
-                            n: int = 65536) -> float:
+                            n: int = 65536, col_shift: bool = False) -> float:
     """Predicted seconds per real query point on the calibrated v5e model:
     K-tile-efficiency-weighted kernel flops + MLP flops, pad-amplified, at
     the fitted effective rate, plus the fitted fixed per-point overhead.
     Calibration constants are chip-specific; the ORDERING (what choose_bands
     needs) is robust to rescaling either constant by ~2x."""
-    rows, _, _, mlp = kernel_costs(cfg, full_dims, bands)
+    rows, _, _, mlp = kernel_costs(cfg, full_dims, bands, col_shift)
     eff_flops = sum(mx / ktile_efficiency(k) for _, k, _, mx, _ in rows)
     amp, _ = pad_amplification(cfg, full_dims, bands, tile, n)
     return ((eff_flops + mlp) * amp) / EFFECTIVE_PEAK_FLOPS + (

@@ -251,6 +251,70 @@ def _band_windows(
     return col_lo, wcols
 
 
+def _band_windows_disp(
+    g1_fine: int, dims, align_corners: bool, displacement: float,
+    band_cols: int,
+):
+    """Per-displacement axis-1 column SUB-windows inside the union DMA window
+    (the K-fill experiment of ARCHITECTURE.md §9): `_band_windows`' single
+    window must cover the band span plus BOTH displacement directions plus
+    hat support plus 8-alignment slack (wcols=32 at full res for
+    band_cols=16, K=wrows*32=224, 0.88 K-tile fill).  Each axis-1
+    displacement sign only needs span+hat+slack, so giving displacement j in
+    {-1, 0, +1} its own 8-aligned sub-window shrinks the contraction K to
+    wrows*WCOLS_K (e.g. wrows*16=112 at band_cols<=6, one exactly-fillable
+    128-deep MXU K-pass — the "wcols≈18" geometry the alignment rules round
+    away, recovered by shifting INSIDE the already-DMA'd window).
+
+    Returns (coff8 (nb1, 3) int32, WCOLS_K): per-band, per-displacement-sign
+    sub-window offsets DIVIDED BY 8 (within the union window — the kernel
+    reconstructs offset*8 so Mosaic can prove sublane-dim divisibility), and
+    the uniform sub-window width (8-multiple).  Coverage is asserted like
+    `_band_windows`."""
+    g1l = int(dims[1])
+    g1p = -(-g1l // 8) * 8
+    nb1 = max(1, -(-g1_fine // band_cols))
+    af, bf = _ix_affine(g1_fine, align_corners)
+    al, bl = _ix_affine(g1l, align_corners)
+    scale = al / af
+    lo = scale * (np.arange(nb1) * band_cols - bf) + bl
+    width = scale * band_cols
+    dsh = displacement * al
+    col_lo, wcols = _band_windows(
+        g1_fine, dims, align_corners, displacement, band_cols
+    )
+    col_lo64 = col_lo.astype(np.int64)
+    subs, his = [], []
+    for j in (-1, 0, 1):
+        lo_need = np.floor(lo + j * dsh) - 1.0
+        hi_need = np.ceil(lo + width + j * dsh) + 2.0
+        s = np.maximum((lo_need.astype(np.int64) // 8) * 8, col_lo64)
+        subs.append(s)
+        his.append(hi_need)
+    wcols_k = int(
+        min(
+            wcols,
+            max(
+                -(-int((hi - s).max()) // 8) * 8
+                for s, hi in zip(subs, his)
+            ),
+        )
+    )
+    coff = []
+    for j, (s, hi) in enumerate(zip(subs, his)):
+        s = np.minimum(s, col_lo64 + wcols - wcols_k)
+        lo_need = np.floor(lo + (j - 1) * dsh) - 1.0
+        # sub-window must span the in-union-window support of this
+        # displacement's hat weights — fail loudly, never corrupt
+        assert wcols_k == wcols or (
+            (s <= np.maximum(lo_need, col_lo64)).all()
+            and (s + wcols_k >= np.minimum(hi, col_lo64 + wcols)).all()
+        ), (dims, band_cols, j - 1, s, wcols_k)
+        assert ((s - col_lo64) % 8 == 0).all() and (s >= col_lo64).all()
+        coff.append(((s - col_lo64) // 8).astype(np.int32))
+    return np.stack(coff, axis=1), wcols_k
+
+
 def _hat(ix, rows):
     return jnp.maximum(0.0, 1.0 - jnp.abs(ix - rows))
 
@@ -716,7 +780,8 @@ def _level_features_banded_impl(
 
 def _make_kernel_banded_fc0(dims, c: int, g2p: int, wcols: int, rows: int,
                             wrows: int, align_corners: bool,
-                            displacement: float, tile: int, h_dim: int):
+                            displacement: float, tile: int, h_dim: int,
+                            wcols_k: int | None = None):
     """Banded kernel body with the level's fc0 partial product FUSED: instead
     of writing (T, 7*C) interpolated features to HBM (to be concatenated and
     contracted by XLA), the 7 displacement features accumulate into a VMEM
@@ -724,16 +789,22 @@ def _make_kernel_banded_fc0(dims, c: int, g2p: int, wcols: int, rows: int,
     fc0 partial (T, H) directly.  At 262k queries this deletes ~1.35 GB of
     bf16 feature write+read plus the per-level XLA einsums (~7.5 ms
     profiled), while the fc0 matmul itself lands on MXU time the kernel was
-    stalling through anyway (K = 7C is tile-friendly: 112/224/448/896)."""
+    stalling through anyway (K = 7C is tile-friendly: 112/224/448/896).
+
+    wcols_k (col_shift=True): contract only a per-displacement (wrows,
+    wcols_k) sub-window of the DMA'd (rows, wcols) table, sliced at the
+    prefetched 8-aligned offset coff — the K-fill geometry experiment
+    (_band_windows_disp).  The DMA and its state caching are unchanged."""
     g0, g1, g2 = (int(d) for d in dims)
     a0, b0 = _ix_affine(g0, align_corners)
     a1, b1 = _ix_affine(g1, align_corners)
     a2, b2 = _ix_affine(g2, align_corners)
     dsh = (displacement * a0, displacement * a1, displacement * a2)
+    wk = wcols if wcols_k is None else wcols_k
 
-    def kernel(base_ref, woff_ref, cbase_ref, used_ref, vol_ref, q0_ref,
-               q1_ref, q2_ref, fold_ref, w0_ref, out_ref, tab_ref, feat_ref,
-               state_ref, sem):
+    def body(base_ref, woff_ref, cbase_ref, coff_ref, used_ref, vol_ref,
+             q0_ref, q1_ref, q2_ref, fold_ref, w0_ref, out_ref, tab_ref,
+             feat_ref, state_ref, sem):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
         base = base_ref[bi, ti]
@@ -777,10 +848,9 @@ def _make_kernel_banded_fc0(dims, c: int, g2p: int, wcols: int, rows: int,
         ix1 = a1 * p1 + b1
         ix2 = a2 * p2 + b2
 
-        ab = jax.lax.broadcasted_iota(jnp.int32, (tile, wrows * wcols), 1)
-        arow = (ab // wcols).astype(jnp.float32)
-        bcol = (ab % wcols).astype(jnp.float32)
-        cols_abs = cbase.astype(jnp.float32) + bcol
+        ab = jax.lax.broadcasted_iota(jnp.int32, (tile, wrows * wk), 1)
+        arow = (ab // wk).astype(jnp.float32)
+        bcol = (ab % wk).astype(jnp.float32)
         kidx = (
             jax.lax.broadcasted_iota(jnp.int32, (tile, g2p), 1) // c
         ).astype(jnp.float32)
@@ -796,11 +866,16 @@ def _make_kernel_banded_fc0(dims, c: int, g2p: int, wcols: int, rows: int,
                 dix1 = ix1 + s1 * dsh[1]
                 dix2 = ix2 + s2 * dsh[2]
                 rows_abs = (base + woff).astype(jnp.float32) + arow
+                if coff_ref is None:
+                    coff = 0
+                else:
+                    coff = coff_ref[bi, s1 + 1, ti] * 8
+                cols_abs = (cbase + coff).astype(jnp.float32) + bcol
                 w = _hat(dix0, rows_abs) * _hat(dix1, cols_abs)
-                tab = tab_ref[pl.ds(woff, wrows)]  # (wrows, wcols, g2p)
+                tab = tab_ref[pl.ds(woff, wrows), pl.ds(coff, wk)]
                 pencil = jax.lax.dot_general(
                     w.astype(jnp.bfloat16),
-                    tab.reshape(wrows * wcols, g2p),
+                    tab.reshape(wrows * wk, g2p),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (T, g2p)
@@ -814,11 +889,16 @@ def _make_kernel_banded_fc0(dims, c: int, g2p: int, wcols: int, rows: int,
                 preferred_element_type=jnp.float32,
             ).astype(out_ref.dtype)  # (T, H) fc0 partial
 
+    if wcols_k is None:
+        def kernel(base_ref, woff_ref, cbase_ref, used_ref, *rest):
+            body(base_ref, woff_ref, cbase_ref, None, used_ref, *rest)
+    else:
+        kernel = body
     return kernel
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15)
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16)
 )
 def level_fc0_banded(
     vol: jnp.ndarray,
@@ -837,6 +917,7 @@ def level_fc0_banded(
     band_cols: int,
     tile: int = TILE,
     interpret: bool = False,
+    col_shift: bool = False,
 ) -> jnp.ndarray:
     """level_features_banded with the level's fc0 partial fused in-kernel.
 
@@ -844,25 +925,30 @@ def level_fc0_banded(
     displacement-major-within-level (d*C + c).  Returns the (B, P, H)
     bfloat16 partial product sum_f feat[..., f] * w0l[f, :] — the caller
     sums level partials and adds the fc0 bias.  INFERENCE-ONLY (no VJP),
-    like level_features_banded."""
+    like level_features_banded.
+
+    col_shift: contract per-displacement column sub-windows instead of the
+    union window (the K-fill geometry experiment; _band_windows_disp)."""
     return _level_fc0_banded_impl(
         vol, w0l, q0, q1, q2, tile_slab, tile_band, tile_used, dims, g0_fine,
         g1_fine, align_corners, displacement, band_cols, tile, interpret,
+        col_shift,
     )
 
 
 def _lf0_fwd(vol, w0l, q0, q1, q2, tile_slab, tile_band, tile_used, dims,
              g0_fine, g1_fine, align_corners, displacement, band_cols, tile,
-             interpret):
+             interpret, col_shift):
     out = _level_fc0_banded_impl(
         vol, w0l, q0, q1, q2, tile_slab, tile_band, tile_used, dims, g0_fine,
         g1_fine, align_corners, displacement, band_cols, tile, interpret,
+        col_shift,
     )
     return out, None
 
 
 def _lf0_bwd(dims, g0_fine, g1_fine, align_corners, displacement, band_cols,
-             tile, interpret, residuals, cotangent):
+             tile, interpret, col_shift, residuals, cotangent):
     raise NotImplementedError(
         "level_fc0_banded (the fc0-fused banded point-query kernel) is "
         "INFERENCE-ONLY: it has no backward kernel.  For training/gradients "
@@ -877,12 +963,12 @@ level_fc0_banded.defvjp(_lf0_fwd, _lf0_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "align_corners", "displacement", "g0_fine",
-                     "g1_fine", "band_cols", "tile", "interpret"),
+                     "g1_fine", "band_cols", "tile", "interpret", "col_shift"),
 )
 def _level_fc0_banded_impl(
     vol, w0l, q0, q1, q2, tile_slab, tile_band, tile_used, dims, g0_fine: int,
     g1_fine: int, align_corners: bool, displacement: float, band_cols: int,
-    tile: int = TILE, interpret: bool = False,
+    tile: int = TILE, interpret: bool = False, col_shift: bool = False,
 ) -> jnp.ndarray:
     b, g0, g1, g2, c = vol.shape
     p = q0.shape[1]
@@ -902,6 +988,13 @@ def _level_fc0_banded_impl(
     tile_base = jnp.asarray(tab_lo)[tile_slab]
     tile_woff = jnp.moveaxis(jnp.asarray(woff_np)[tile_slab], -1, 1)
     tile_cbase = jnp.asarray(col_lo // 8)[tile_band]
+    wcols_k = None
+    if col_shift:
+        coff_np, wcols_k = _band_windows_disp(
+            g1_fine, dims, align_corners, displacement, band_cols
+        )
+        # (B, 3, NT): per-tile sub-window offsets/8 per axis-1 displacement
+        tile_coff = jnp.moveaxis(jnp.asarray(coff_np)[tile_band], -1, 1)
 
     volp = vol.astype(jnp.bfloat16).reshape(b, g0, g1, g2c)
     if g2p != g2c or g1p != g1:
@@ -915,10 +1008,16 @@ def _level_fc0_banded_impl(
 
     kernel = _make_kernel_banded_fc0(
         dims, c, g2p, wcols, rows, wrows, align_corners, displacement, tile,
-        h_dim,
+        h_dim, wcols_k,
     )
+    wk = wcols if wcols_k is None else wcols_k
+    prefetch = [tile_base, tile_woff, tile_cbase]
+    if col_shift:
+        prefetch.append(tile_coff)
+    prefetch.append(tile_used)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # tile_base, tile_woff, tile_cbase, tile_used
+        # tile_base, tile_woff, tile_cbase, [tile_coff,] tile_used
+        num_scalar_prefetch=len(prefetch),
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # volume (DMA'd manually)
@@ -949,17 +1048,14 @@ def _level_fc0_banded_impl(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * p * (7 * (wrows * wcols + g2c) * max(c, 1)
+            flops=2 * b * p * (7 * (wrows * wk + g2c) * max(c, 1)
                                + 7 * c * h_dim),
             bytes_accessed=b * nt * rows * wcols * g2p * 2
             + b * p * h_dim * 2,
             transcendentals=0,
         ),
     )(
-        tile_base,
-        tile_woff,
-        tile_cbase,
-        tile_used,
+        *prefetch,
         volp,
         q0[..., None],
         q1[..., None],

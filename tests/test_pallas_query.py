@@ -172,6 +172,58 @@ def test_query_fused_banded_matches_query():
     assert np.abs(got - ref).max() < 0.05 * scale, np.abs(got - ref).max()
 
 
+def test_query_fused_col_shift_matches_banded():
+    """col_shift (per-displacement column sub-windows, the K-fill geometry
+    experiment): identical math over a smaller contraction window — logits
+    must match the plain banded path EXACTLY, and the gather path within the
+    usual bf16 tolerance."""
+    from sv3d_tpu.config import IFNetConfig
+    from sv3d_tpu.models.ifnet import IFNet
+
+    model = IFNet(IFNetConfig.for_net_res(32))
+    key = jax.random.PRNGKey(0)
+    grid = (jax.random.uniform(key, (2, 18, 13, 14, 1)) > 0.9).astype(jnp.float32)
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(1), (2, 100, 3), minval=-0.55, maxval=0.55
+    )
+    variables = model.init(key, grid, pts, train=False)
+    ref = np.asarray(model.apply(variables, grid, pts, train=False))
+    levels = model.apply(variables, grid, train=False, method=IFNet.encode)
+    for bands in (3, 4):
+        banded = np.asarray(
+            model.apply(variables, levels, pts, interpret=True, bands=bands,
+                        method=IFNet.query_fused)
+        )
+        shifted = np.asarray(
+            model.apply(variables, levels, pts, interpret=True, bands=bands,
+                        col_shift=True, method=IFNet.query_fused)
+        )
+        np.testing.assert_array_equal(shifted, banded)
+        scale = np.abs(ref).max() + 1.0
+        assert np.abs(shifted - ref).max() < 0.05 * scale
+
+
+def test_band_windows_disp_geometry():
+    """The per-displacement sub-windows cover their hat support and actually
+    shrink K at full IF-Net-128 dims (wcols 24 -> 16 at band_cols=5 on the
+    full-res levels: wrows*wcols 168 -> 112, one exactly-fillable 128-deep
+    MXU K-pass)."""
+    from sv3d_tpu.ops.pallas.point_query import (
+        _band_windows,
+        _band_windows_disp,
+    )
+
+    dims = (139, 104, 112)
+    _, wcols = _band_windows(208, dims, False, 0.0722, 5)
+    coff, wcols_k = _band_windows_disp(208, dims, False, 0.0722, 5)
+    assert wcols == 24 and wcols_k == 16, (wcols, wcols_k)
+    assert coff.shape[1] == 3 and (coff >= 0).all()
+    # coverage asserts inside _band_windows_disp already ran; degenerate
+    # coarse level: sub-window == whole padded axis, offsets zero
+    coff_c, wk_c = _band_windows_disp(208, (8, 6, 7), False, 0.0722, 5)
+    assert (coff_c == 0).all() and wk_c == 8
+
+
 def test_level_features_coarse_level():
     """Coarse level (dims much smaller than the fine bucketing axis) — the
     whole-level window path (ROWS == g0l)."""
