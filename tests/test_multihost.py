@@ -16,6 +16,10 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# multi-process Gloo launches: minutes of wall-clock — excluded from the
+# default fast profile (pyproject addopts -m "not slow")
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).parent.parent
 WORKER = Path(__file__).parent / "multihost_worker.py"
 FIXTURE = REPO / ".fixture_data"

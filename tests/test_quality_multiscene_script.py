@@ -18,6 +18,12 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
+
+# end-to-end script drives (data gen + training + eval in subprocesses):
+# minutes of wall-clock — excluded from the default fast profile
+# (pyproject addopts -m "not slow")
+pytestmark = pytest.mark.slow
 
 REPO = Path(__file__).parent.parent
 SCRIPT = REPO / "scripts" / "quality_multiscene.py"

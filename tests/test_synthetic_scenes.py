@@ -17,6 +17,11 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# scene generation + the full preprocessing pipeline (incl. the bit-identical
+# grown-vs-scratch rerun): minutes of wall-clock — excluded from the default
+# fast profile (pyproject addopts -m "not slow")
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).parent.parent
 sys.path.insert(0, str(REPO / "scripts"))
 
