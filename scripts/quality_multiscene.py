@@ -91,7 +91,13 @@ def build_data(root: Path, counts: dict, scale: int, num_samples: int, seed: int
         skip_existing=True,
     )
     assert len(quarantined) == 0, quarantined
-    assert len(processed) == total
+    # the pipeline walks the WHOLE raw tree: a tree grown by an earlier run
+    # with a larger --append_train legitimately holds more processed scenes
+    # than this run's splits reference (scene i's content only depends on
+    # (seed, i), so the extras are valid — just unused by these splits)
+    assert len(processed) >= total, (len(processed), total)
+    done = {p.replace("\\", "/").split("raw/synth/")[-1] for p in processed}
+    assert all(n in done for n in names), (sorted(done)[:5], names[:5])
 
     off = 0
     members = {}
