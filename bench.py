@@ -340,10 +340,19 @@ def bench_scene(slab_rows=SLAB_ROWS):
     pts = jnp.zeros((1, 16, 3), jnp.float32)
     variables = model.init(rng, rgb, depth_t, pts, train=False)
 
-    ckpt = root / "runs" / "quality_e2e" / "checkpoints" / "last"
-    if ckpt.exists():
+    # any full-scale SceneNet checkpoint keeps the occupancy field — and
+    # hence the marching-cubes load — realistic (random init meshes noise,
+    # tripling the MC time); prefer the overfit e2e run, else a scaling arm
+    candidates = [root / "runs" / "quality_e2e" / "checkpoints" / "last"]
+    candidates += sorted(
+        root.glob("runs/scaling_*/checkpoints/last"), reverse=True
+    )
+    candidates += [root / "runs" / "quality_multiscene" / "checkpoints" / "last"]
+    ckpt = next((c for c in candidates if c.exists()), None)
+    if ckpt is not None:
         from sv3d_tpu.training.checkpoint import _restore_like, restore_tree
 
+        print(f"# bench_scene: weights from {ckpt}", file=sys.stderr)
         tree = restore_tree(ckpt)
         variables = {
             "params": _restore_like(variables["params"], tree["params"]),
