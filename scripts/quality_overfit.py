@@ -41,7 +41,16 @@ def main():
     p.add_argument("--num_points", type=int, default=2048)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--eval_points", type=int, default=50000)
-    p.add_argument("--out", default=None)
+    p.add_argument("--out", default=None,
+                   help="results JSON path (default <exp>/quality.json); "
+                   "NOT the experiment dir — that's --exp")
+    p.add_argument("--exp", default=None,
+                   help="experiment dir override (default runs/quality_e2e "
+                   "with --use_unet, else runs/quality_overfit)")
+    p.add_argument("--resume_last", action="store_true",
+                   help="continue from <exp>/checkpoints/last if present "
+                   "(tunnel-outage recovery; a completed run skips straight "
+                   "to mesh extraction + eval)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument(
         "--use_unet", action="store_true",
@@ -90,7 +99,14 @@ def main():
         val_check_interval=1e9,
     )
     default_dir = "runs/quality_e2e" if args.use_unet else "runs/quality_overfit"
-    out_dir = Path(args.out) if args.out else Path(default_dir)
+    out_dir = Path(args.exp) if args.exp else Path(default_dir)
+    if args.resume_last and (out_dir / "checkpoints" / "last").exists():
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, resume=str(out_dir / "checkpoints" / "last")
+        )
+        print(f"resuming from {cfg.resume}", flush=True)
     trainer = SceneNetTrainer(cfg, experiment_dir=out_dir)
 
     t0 = time.time()
@@ -172,7 +188,8 @@ def main():
             "QUALITY_MULTISCENE_*.json for the held-out-scene counterpart"
         ),
     }
-    (out_dir / "quality.json").write_text(json.dumps(result, indent=2))
+    out_path = Path(args.out) if args.out else out_dir / "quality.json"
+    out_path.write_text(json.dumps(result, indent=2))
     print(json.dumps(result), flush=True)
 
 

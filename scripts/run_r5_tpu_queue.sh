@@ -12,9 +12,9 @@ WD="python scripts/tpu_watchdog.py"
 
 echo "=== stage 1: quality_e2e ($(date)) ==="
 $WD --progress runs/quality_e2e/logs/metrics.jsonl --init_stall 1500 \
-    --stall 900 --retries 12 --sleep 90 -- \
+    --stall 1500 --retries 12 --sleep 90 -- \
     python scripts/quality_overfit.py --use_unet --datasetdir .fixture_data \
-    --steps 3000 --out QUALITY_E2E_r5.json \
+    --steps 3000 --resume_last --out QUALITY_E2E_r5.json \
   || { echo "=== stage 1 FAILED ==="; exit 1; }
 
 echo "=== stage 2: col_shift band sweep ($(date)) ==="
