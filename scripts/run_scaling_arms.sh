@@ -27,7 +27,7 @@ run_arm() {
   # splits rewrite over the shared (grown) tree — CPU, seconds
   $Q --n_train 32 --append_train "$append" --stage data --cpu || return 1
   $WD --progress "$exp/logs/metrics.jsonl" --init_stall 1500 --stall 900 \
-      --retries 5 --sleep 60 --resume_args --resume_last -- \
+      --retries 5 --sleep 60 --resume_args=--resume_last -- \
       $Q --n_train 32 --append_train "$append" --steps "$steps" $extra \
          --stage train --exp "$exp" --out "$out" || return 1
   $WD --progress "$exp/test_meshes" --init_stall 1500 --stall 900 \
