@@ -74,11 +74,14 @@ BASELINE_SEC_PER_SCENE = 15.0  # estimate; see module docstring
 DIMS = (139, 104, 112)
 RES_INCREASE = 2
 SLAB_ROWS = 8  # the must-succeed primary measurement; the HEADLINE picks the
-               # best of rows {2,4,8} measured in this run (rows=8 measured
+               # best of rows {1,2,4,8} measured in this run (rows=8 measured
                # fastest 2026-08-17 at 102.7M but dropped to 83.6M on
                # 2026-08-19 while rows=2 held 92.3->91.8M — per-rows timing is
                # chip-window-dependent, so the bench autotunes like a serving
-               # deployment would instead of pinning one tiling)
+               # deployment would instead of pinning one tiling.  rows=1 —
+               # added 2026-08-21 after an interleaved A/B measured it at
+               # 119.3-119.9M vs rows=2's 95.6M, +25% — is the serving
+               # default (see inference/dense_grid.py)
 N_TIMED = 3
 
 # absolute wall-clock deadline (epoch seconds), set by the supervisor and
@@ -162,7 +165,7 @@ def bench_rows_sweep(measure, by_rows, budget_per_row):
     can see and route around.  The full per-rows dict stays in the artifact:
     if ALL rows shift together it is chip/tunnel state, if ONE moves it is a
     program regression."""
-    for rows in (2, 4):
+    for rows in (1, 2, 4):
         if _remaining() < budget_per_row:
             print(f"# rows={rows} shed: {_remaining():.0f}s left "
                   f"< {budget_per_row:.0f}s budget", file=sys.stderr)

@@ -132,11 +132,19 @@ def evaluate_on_grid(
     grid: jnp.ndarray,
     resolution,
     res_increase: int = 1,
-    slab_rows: int = 4,
+    slab_rows: int = 1,
     mesh=None,
     transfer_dtype=jnp.float32,
 ) -> np.ndarray:
     """Evaluate sigmoid-occupancy on the dense lattice over [-0.5, 0.5]^3.
+
+    slab_rows default = 1: the finest slab tiling measured FASTEST on the
+    v5e (2026-08-21, interleaved A/B x3: rows=1 119.3-119.9M pts/s vs
+    rows=2 95.6M, bit-identical output) — the per-slab program stays
+    MXU-resident and the rolled lax.map carries no per-iteration overhead
+    worth amortizing.  Per-rows timing is chip-window-dependent (rows=8
+    swung 102.7->83.6M across days while rows=2 held ~92M), so bench.py
+    autotunes over {1, 2, 4, 8} per run and serving deployments should too.
 
     grid: (1, D0, D1, D2, 1) input occupancy volume.
     Returns (r0, r1, r2) float32 numpy volume with r_i = resolution[i] *
@@ -193,7 +201,7 @@ def evaluate_on_grid_device(
     levels,
     resolution,
     res_increase: int = 1,
-    slab_rows: int = 4,
+    slab_rows: int = 1,
     mesh=None,
 ) -> jnp.ndarray:
     """Whole dense sweep as ONE jitted program (lax.map over row slabs),
@@ -290,7 +298,7 @@ def implicit_to_mesh(
     threshold_p: float,
     output_path: str | Path,
     res_increase: int = 1,
-    slab_rows: int = 4,
+    slab_rows: int = 1,
     mesh=None,
     transfer_dtype=jnp.uint8,
 ):
